@@ -1,0 +1,160 @@
+"""Differentiable episode runner: one jit'd ``lax.scan`` replaces the reference's
+host-driven 3000-launch loop + ``wp.Tape`` (sim.py:341-372).
+
+Memory model: the reference stores the FULL trajectory — (frames+1) copies of 5
+state fields — so the tape can reach it (sim.py:84-95).  Here the step function
+is wrapped in ``jax.checkpoint``, so reverse-mode recomputes each step's
+internals from its (pos, vel) carry: O(T) positions instead of O(T x fields),
+exactly the recompute pattern the Taichi backend hand-rolls at
+sim_taichi.py:184-200.
+
+Loss accumulates inside the scan carry at the sampled frames (sim.py:359-361):
+masked add of the current frame's loss term, target row selected with a clamped
+dynamic index — no host round-trips anywhere in the episode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..core.types import Materials, ParticleState, Scene
+from ..ops.collision import ground_penalty
+from ..ops.elasticity import compute_ratio, elastic_forces
+
+
+def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig):
+    """external + elastic - damping*v + collision (part_1/part_2, sim.py:246-258)."""
+    f = mats.external + f_el - cfg.damping * vel
+    if cfg.collision:
+        f = f + ground_penalty(pos, cfg)
+    return f
+
+
+def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleState:
+    """One physics step.
+
+    trapezoidal (Warp, sim.py:246-258): part_1 advances positions with the
+    carried forces, forces are recomputed at the new positions, part_2 averages.
+    symplectic (Taichi, sim_taichi.py:167-172): forces at current state, then
+    semi-implicit Euler.
+    """
+    mats = scene.materials
+    dt = cfg.dt
+    m = mats.mass[:, None]
+    pos, vel, f_el = state
+
+    if cfg.integrator == "trapezoidal":
+        force1 = total_force(pos, vel, f_el, mats, cfg)
+        pos_n = pos + (dt * vel + 0.5 * dt * dt * force1 / m) * mats.free
+        f_el_n, _ = elastic_forces(pos_n, ratio, mats, scene.topology, cfg)
+        force2 = mats.external + f_el_n - cfg.damping * vel
+        if cfg.collision:
+            force2 = force2 + ground_penalty(pos_n, cfg)
+        vel_n = vel + dt * (force1 + force2) / (2.0 * m) * mats.free
+        return ParticleState(pos_n, vel_n, f_el_n)
+
+    # symplectic Euler (advance, sim_taichi.py:167-172)
+    f_el_now, _ = elastic_forces(pos, ratio, mats, scene.topology, cfg)
+    force = total_force(pos, vel, f_el_now, mats, cfg)
+    vel_n = vel + dt * force / m * mats.free
+    pos_n = pos + dt * vel_n * mats.free
+    return ParticleState(pos_n, vel_n, f_el_now)
+
+
+def initial_state(scene: Scene, ratio, cfg: SimConfig) -> ParticleState:
+    """startup kernel + initial force evaluation (sim.py:342,349-351,261-266)."""
+    pos = scene.rest_position
+    vel = jnp.broadcast_to(
+        jnp.asarray(cfg.initial_velocity, dtype=pos.dtype), pos.shape
+    )
+    if cfg.integrator == "trapezoidal":
+        f_el, _ = elastic_forces(pos, ratio, scene.materials, scene.topology, cfg)
+    else:
+        f_el = jnp.zeros_like(pos)
+    return ParticleState(pos, vel, f_el)
+
+
+def frame_loss(state: ParticleState, tp, tv, cfg: SimConfig):
+    """Per-frame loss term: |p - p*|^2 + dt |v - v*|^2 (compute_loss, sim.py:269-273);
+    Taichi final-frame variant drops the dt weight (sim_taichi.py:210-214)."""
+    dp = state.position - tp
+    dv = state.velocity - tv
+    w = cfg.dt if cfg.loss_mode == "sampled" else 1.0
+    return jnp.sum(dp * dp) + w * jnp.sum(dv * dv)
+
+
+def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
+            n_steps=None, record_every: int | None = None):
+    """Run an episode.  Differentiable wrt ``x`` (and the scene pytree).
+
+    Returns (loss, final_state, recorded) where ``recorded`` is
+    (positions, velocities) stacked every ``record_every`` steps (or None).
+    If targets are None the loss is 0 (pure forward / target generation).
+    """
+    n_steps = cfg.frames if n_steps is None else n_steps
+    ratio = compute_ratio(x, cfg)
+    state0 = initial_state(scene, ratio, cfg)
+
+    have_targets = target_p is not None
+    if not have_targets:
+        dtype = scene.rest_position.dtype
+        target_p = jnp.zeros((1,) + scene.rest_position.shape, dtype)
+        target_v = jnp.zeros((1,) + scene.rest_position.shape, dtype)
+    n_targets = target_p.shape[0]
+    interval = max(n_steps // n_targets, 1)
+
+    step_fn = partial(step, scene=scene, cfg=cfg)
+    if cfg.remat:
+        step_fn = jax.checkpoint(step_fn)
+
+    def body(carry, f):
+        state, acc = carry
+        state = step_fn(state, ratio)
+        frame = f + 1
+        if have_targets:
+            t_idx = jnp.clip(frame // interval - 1, 0, n_targets - 1)
+            term = frame_loss(state, target_p[t_idx], target_v[t_idx], cfg)
+            if cfg.loss_mode == "final":
+                hit = frame == n_steps
+            else:
+                hit = (frame % interval == 0) & (frame // interval <= n_targets)
+            acc = acc + jnp.where(hit, term, 0.0)
+        return (state, acc), None
+
+    zero = jnp.zeros((), scene.rest_position.dtype)
+    if record_every:
+        # scan in chunks, recording the state at the end of each chunk
+        assert n_steps % record_every == 0
+
+        def chunk(carry, k):
+            carry, _ = jax.lax.scan(
+                body, carry, k * record_every + jnp.arange(record_every)
+            )
+            return carry, (carry[0].position, carry[0].velocity)
+
+        (state, acc), rec = jax.lax.scan(
+            chunk, (state0, zero), jnp.arange(n_steps // record_every)
+        )
+        return acc, state, rec
+
+    (state, acc), _ = jax.lax.scan(body, (state0, zero), jnp.arange(n_steps))
+    return acc, state, None
+
+
+def loss_fn(x, scene: Scene, cfg: SimConfig, target_p, target_v, n_steps=None):
+    """Scalar episode loss — the quantity L-BFGS minimizes (sim.py:379-396)."""
+    loss, _, _ = rollout(x, scene, cfg, target_p, target_v, n_steps=n_steps)
+    return loss
+
+
+def value_and_grad_fn(scene: Scene, cfg: SimConfig, n_steps=None):
+    """jit'd (loss, dloss/dx) closure — replaces diff_sim + tape.backward
+    (sim.py:341-372)."""
+    def f(x, target_p, target_v):
+        return loss_fn(x, scene, cfg, target_p, target_v, n_steps=n_steps)
+
+    return jax.jit(jax.value_and_grad(f))

@@ -1,0 +1,157 @@
+"""Static rest-space neighbor tables.
+
+The reference builds a CUDA hash grid once over rest positions and queries it at
+rest coordinates inside every kernel (``sim.py:123-127,161,178,203,224``) — the
+topology never changes.  The TPU-native design exploits that: neighbors are found
+ONCE on the host, padded into a dense ``(N, K)`` index table, and all rest-space
+kernel quantities (W, grad-W, offsets, and several whole-neighborhood reductions)
+are precomputed.  Every per-step physics op then becomes a statically-shaped
+gather + dense reduce — no hash probing, no atomics, bitwise deterministic.
+
+Builders (fastest available is picked automatically):
+  * C++ spatial hash via ctypes (softbody_tpu/native), built lazily;
+  * scipy cKDTree;
+  * pure-NumPy cell hash (always available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import SimConfig
+from ..core.types import Topology
+from ..oracle.sim import W, nabla_W
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def neighbor_lists_numpy(rest: np.ndarray, radius: float):
+    """Pure-NumPy uniform-grid neighbor search. Returns list-of-arrays (j != i)."""
+    n = rest.shape[0]
+    cell = radius
+    keys = np.floor(rest / cell).astype(np.int64)
+    # pack 3D cell coords into one int64 key (21 bits per axis, offset to positive)
+    off = keys.min(axis=0)
+    k = keys - off
+    packed = (k[:, 0] << 42) | (k[:, 1] << 21) | k[:, 2]
+    order = np.argsort(packed, kind="stable")
+    sorted_keys = packed[order]
+    # bucket boundaries
+    starts = np.searchsorted(sorted_keys, sorted_keys, side="left")
+    uniq, first = np.unique(sorted_keys, return_index=True)
+    bucket_of = {int(u): (int(f), int(np.searchsorted(sorted_keys, u, side="right"))) for u, f in zip(uniq, first)}
+    r2 = radius * radius
+    out = []
+    for i in range(n):
+        ki = k[i]
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    key = int(((ki[0] + dx) << 42) | ((ki[1] + dy) << 21) | (ki[2] + dz))
+                    rng = bucket_of.get(key)
+                    if rng is not None:
+                        cand.append(order[rng[0]:rng[1]])
+        cand = np.concatenate(cand) if cand else np.empty(0, dtype=np.int64)
+        d2 = np.sum((rest[cand] - rest[i]) ** 2, axis=-1)
+        sel = cand[(d2 < r2) & (cand != i)]
+        out.append(np.sort(sel))
+    return out
+
+
+def neighbor_lists(rest: np.ndarray, radius: float):
+    """Neighbor lists within ``radius`` (exclusive of self), best available backend."""
+    try:
+        from ..native import hashgrid as _native
+
+        if _native.available():
+            return _native.neighbor_lists(rest, radius)
+    except Exception:
+        pass
+    try:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(rest)
+        pairs = tree.query_ball_point(rest, r=radius * (1 - 1e-12))
+        return [np.asarray([j for j in js if j != i], dtype=np.int64) for i, js in enumerate(pairs)]
+    except ImportError:
+        return neighbor_lists_numpy(rest, radius)
+
+
+def build_topology(rest: np.ndarray, mass: np.ndarray, cfg: SimConfig, volume: np.ndarray | None = None):
+    """Build the padded neighbor table + cached rest-space quantities.
+
+    Returns (Topology-as-numpy, rho, volume).  All f64; cast via
+    :func:`topology_to_jax` for device use.
+    """
+    rest = np.asarray(rest, dtype=np.float64)
+    mass = np.asarray(mass, dtype=np.float64)
+    n = rest.shape[0]
+    radius = 2.0 * cfg.h
+    lists = neighbor_lists(rest, radius)
+    counts = np.array([len(l) for l in lists])
+    kmax = int(counts.max()) if n else 0
+    K = max(_round_up(max(kmax, 1), 8), 8)
+    if cfg.max_neighbors and K > cfg.max_neighbors:
+        K = cfg.max_neighbors
+
+    idx = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
+    mask = np.zeros((n, K), dtype=np.float64)
+    for i, js in enumerate(lists):
+        if len(js) > K:  # keep the K nearest
+            d2 = np.sum((rest[js] - rest[i]) ** 2, axis=-1)
+            js = js[np.argsort(d2)[:K]]
+        idx[i, : len(js)] = js
+        mask[i, : len(js)] = 1.0
+
+    xij = rest[:, None, :] - rest[idx]          # X_i - X_j  (N, K, 3)
+    w = W(xij, cfg.h) * mask
+    nw = nabla_W(xij, cfg.h) * mask[..., None]
+    xji = -xij * mask[..., None]
+
+    # density / volume (self term controlled by cfg.self_density; sim.py:163 vs
+    # sim_taichi.py:97-98)
+    rho = np.sum(mass[idx] * w, axis=1)
+    if cfg.self_density:
+        rho = rho + mass * (1.0 / (np.pi * cfg.h**3))  # W(0,h)
+    if volume is None:
+        volume = mass / rho
+
+    c = w * mass[idx]
+    vj = volume[idx] * mask
+    topo = Topology(
+        idx=idx.astype(np.int32),
+        mask=mask,
+        w=w,
+        nw=nw,
+        xji=xji,
+        c=c,
+        vj=vj,
+        sum_c_xji=np.einsum("ij,ija->ia", c, xji),
+        rest_corr=np.einsum("ij,ija,ijb->iab", vj, xji, nw),
+        sum_v_nw=np.einsum("ij,ija->ia", vj, nw),
+    )
+    return topo, rho, volume
+
+
+def topology_to_jax(topo: Topology, dtype) -> Topology:
+    """Cast a host-built (numpy f64) Topology to device arrays of ``dtype``."""
+    import jax.numpy as jnp
+
+    def cast(a, is_int=False):
+        return jnp.asarray(a, dtype=jnp.int32 if is_int else dtype)
+
+    return Topology(
+        idx=cast(topo.idx, is_int=True),
+        mask=cast(topo.mask),
+        w=cast(topo.w),
+        nw=cast(topo.nw),
+        xji=cast(topo.xji),
+        c=cast(topo.c),
+        vj=cast(topo.vj),
+        sum_c_xji=cast(topo.sum_c_xji),
+        rest_corr=cast(topo.rest_corr),
+        sum_v_nw=cast(topo.sum_v_nw),
+    )
