@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Headline benchmark: particle-steps/sec for the flagship inflatable-body
+forward simulation (Warp-parity semantics, f32) on one TPU chip.
+
+Baseline (BASELINE.md): the reference publishes no numbers; the north-star
+target is 1e8 particle-steps/sec/chip at 100k particles on v5e.
+``vs_baseline`` is measured_value / 1e8.
+
+Prints exactly ONE JSON line:
+  {"metric": "particle_steps_per_sec", "value": N, "unit": "particle*steps/s", "vs_baseline": R}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR = 1e8
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--warmup-steps", type=int, default=50)
+    ap.add_argument("--neighbors", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--grad", action="store_true", help="benchmark value_and_grad instead of forward")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from softbody_tpu import build_scene, warp_parity
+    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.sim.rollout import loss_fn, rollout
+
+    def log(*a):
+        if args.verbose:
+            print(*a, file=sys.stderr)
+
+    # Scale the procedural body so the total particle count lands near target.
+    n_outer = max(args.particles // 4, 8)
+    pts, out_num = inflatable_sphere(n_outer=n_outer, radius=0.05)
+    if len(pts) > args.particles:
+        pts = pts[: args.particles]
+        out_num = min(out_num, len(pts))
+    n = len(pts)
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, args.neighbors),
+        dtype="float32",
+        dt=1e-6,
+        max_neighbors=64,
+        target_frames=2,
+    )
+    t0 = time.perf_counter()
+    scene = build_scene(pts, cfg, out_num=out_num)
+    log(f"scene: N={n} K={scene.topology.idx.shape[1]} build={time.perf_counter()-t0:.1f}s "
+        f"device={jax.devices()[0]}")
+
+    x = jnp.zeros(n, dtype=cfg.dtype)
+
+    if args.grad:
+        tp = jnp.asarray(np.stack([pts * 1.05, pts * 1.1]), dtype=cfg.dtype)
+        tv = jnp.zeros_like(tp)
+
+        @jax.jit
+        def run(xv):
+            return jax.value_and_grad(
+                lambda q: loss_fn(q, scene, cfg, tp, tv, n_steps=args.steps)
+            )(xv)
+
+        def execute():
+            loss, grad = run(x)
+            jax.block_until_ready(grad)
+            return loss
+        metric_name = "particle_steps_per_sec_fwdbwd"
+    else:
+
+        @jax.jit
+        def run(xv):
+            _, final, _ = rollout(xv, scene, cfg, n_steps=args.steps)
+            return final
+
+        def execute():
+            final = run(x)
+            jax.block_until_ready(final.position)
+            return final
+        metric_name = "particle_steps_per_sec"
+
+    t0 = time.perf_counter()
+    execute()
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    best = float("inf")
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        execute()
+        dt_wall = time.perf_counter() - t0
+        best = min(best, dt_wall)
+        log(f"repeat {r}: {dt_wall:.3f}s -> {n * args.steps / dt_wall:.3e} particle-steps/s")
+
+    value = n * args.steps / best
+    print(json.dumps({
+        "metric": metric_name,
+        "value": value,
+        "unit": "particle*steps/s",
+        "vs_baseline": value / NORTH_STAR,
+    }))
+
+
+if __name__ == "__main__":
+    main()
