@@ -66,6 +66,8 @@ class SimConfig:
     dtype: str = "float32"           # "float32" | "float64" (oracle / parity checks)
     max_neighbors: int = 64          # K: padded neighbor-table width
     remat: bool = True               # jax.checkpoint the step fn inside lax.scan
+    backend: str = "gather"          # "gather" (N,K tables) | "blocked" (slot space,
+                                     # XLA ref) | "pallas" (slot space, fused kernels)
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)

@@ -77,9 +77,17 @@ class Topology(NamedTuple):
 
 
 class Scene(NamedTuple):
-    """Everything needed to run an episode except the design variable ``x``."""
+    """Everything needed to run an episode except the design variable ``x``.
+
+    Exactly one of ``topology`` (gather backend) / ``blocked`` (column-dense
+    slot backend, sim/blocked.py) is set; for blocked scenes the particle axis
+    is SLOTS and ``slot_of_particle`` maps original particle order into it.
+    """
 
     rest_position: jnp.ndarray   # (N, 3)
     materials: Materials
-    topology: Topology
+    topology: Topology | None
     out_num: int                 # number of outer-shell particles (sim.py:53)
+    blocked: object = None       # ops.blocked.Blocked for the blocked backend
+    rest_corr: jnp.ndarray | None = None       # (3, 3, m) static nabla_u rest term
+    slot_of_particle: jnp.ndarray | None = None  # (n_particles,) particle -> slot

@@ -1,0 +1,199 @@
+"""Blocked-backend scene building and elastic forces.
+
+``build_blocked_scene`` scatters a particle body into the column-dense slot
+space (topology/blocks.py) and returns a standard Scene whose particle axis is
+SLOTS (empty slots inert: far-away rest position, zero mass/volume, Dirichlet
+frozen).  The rollout machinery (sim/rollout.py) is reused unchanged; only the
+elastic-force evaluation dispatches to the blocked pair path
+(cfg.backend == "blocked").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..core.types import Materials, Scene
+from ..ops import mat3
+from ..ops.blocked import (
+    Blocked, far_grid, forces_xla, gather_rows, gather_slab, moments_xla,
+)
+from ..topology.blocks import build_slot_layout
+from .scene import lame_parameters
+
+
+def _pregather(arr_np, layout, dtype):
+    """Host-side static slab/row pregather: (n_slots, F) -> tile structures."""
+    runs = []
+    for t in range(layout.n_tiles):
+        runs.append(np.stack([
+            arr_np[s: s + layout.run_len] for s in layout.slab_start[t]
+        ]))
+    slab = np.stack(runs).reshape(layout.n_tiles, layout.slab_len, *arr_np.shape[1:])
+    return jnp.asarray(slab, dtype)
+
+
+def build_blocked_scene(
+    points: np.ndarray,
+    cfg: SimConfig,
+    out_num: int | None = None,
+    tz: int = 4,
+    capacity: int | None = None,
+    dirichlet_mask: np.ndarray | None = None,
+    external_force: np.ndarray | None = None,
+):
+    """Returns (scene, slot_of_particle).
+
+    ``scene.rest_position`` etc. live in slot space; map particle-indexed data
+    (x, targets, dirichlet masks) through ``slot_of_particle``.
+    """
+    rest = np.asarray(points, dtype=np.float64)
+    n = rest.shape[0]
+    dtype = cfg.dtype
+    layout = build_slot_layout(rest, 2.0 * cfg.h, tz=tz, capacity=capacity)
+    ns = layout.n_slots
+    sop = layout.slot_of_particle
+
+    # slot-space rest positions: real particles in place, empties on a far grid
+    span = float(np.abs(rest).max()) + 1.0
+    rest_slots = far_grid(ns, start=span + 100.0 * cfg.h, spacing=4.0 * cfg.h)
+    rest_slots[sop] = rest
+    real = layout.particle_of_slot >= 0
+
+    # coefficient mass (0 for empty slots -> pair terms vanish) vs integrator
+    # mass (1 for empty slots -> no 0/0 in force/m; they're frozen anyway)
+    mass = np.where(real, cfg.mass, 0.0)
+    mass_integ = np.where(real, cfg.mass, 1.0)
+    mu0, lam0 = lame_parameters(cfg.youngs_modulus, cfg.poisson_ratio)
+    mu = np.where(real, mu0, 0.0)
+    lam = np.where(real, lam0, 0.0)
+    free = np.zeros((ns, 3))
+    free[sop] = 1.0 if dirichlet_mask is None else np.asarray(dirichlet_mask, np.float64)
+    ext = np.zeros((ns, 3))
+    ext[sop] = (
+        np.asarray(cfg.external_force, np.float64)
+        if external_force is None
+        else np.asarray(external_force, np.float64)
+    )
+
+    m_tiles = layout.n_tiles * layout.tile_rows
+    blocked = Blocked(
+        tile_start=jnp.asarray(layout.tile_start, jnp.int32),
+        slab_start=jnp.asarray(layout.slab_start, jnp.int32),
+        rest_slab=_pregather(rest_slots, layout, dtype),
+        vol_slab=jnp.zeros((layout.n_tiles, layout.slab_len), dtype),
+        mass_slab=_pregather(mass, layout, dtype),
+        rest_rows=jnp.asarray(
+            rest_slots[:m_tiles].reshape(layout.n_tiles, layout.tile_rows, 3), dtype
+        ),
+        rows=layout.tile_rows,
+        slab_len=layout.slab_len,
+        run_len=layout.run_len,
+        n_tiles=layout.n_tiles,
+        n_slots=ns,
+    )
+
+    # density / volume via the blocked pair machinery itself (one jit call):
+    # rho_i = sum_j m_j w_ij (+ self term if cfg.self_density)
+    @jax.jit
+    def density(blk):
+        from ..ops.blocked import pair_w_gfac
+
+        _, w, _ = pair_w_gfac(blk.rest_rows, blk.rest_slab, cfg.h, blk.rest_rows.dtype)
+        rho = jnp.einsum("trs,ts->tr", w, blk.mass_slab).reshape(-1)
+        return rho
+
+    rho_rows = np.asarray(density(blocked), np.float64)
+    rho = np.zeros(ns)
+    rho[:m_tiles] = rho_rows
+    if cfg.self_density:
+        rho = rho + mass * (1.0 / (np.pi * cfg.h**3))
+    volume = np.where(real & (rho > 0), mass / np.where(rho > 0, rho, 1.0), 0.0)
+
+    blocked = jax.tree_util.tree_map(lambda x: x, blocked)  # copy
+    import dataclasses as _dc
+
+    blocked = _dc.replace(blocked, vol_slab=_pregather(volume, layout, dtype))
+
+    # static rest correction: Y evaluated at the rest configuration
+    @jax.jit
+    def rest_corr_fn(blk):
+        rr = blk.rest_rows
+        rs = blk.rest_slab
+        _, Y = moments_xla(rr, rs, blk, cfg)
+        return Y
+
+    rest_corr4 = rest_corr_fn(blocked)                      # (t, rows, 3, 3)
+    rest_corr = mat3.from_trailing(rest_corr4.reshape(m_tiles, 3, 3))
+
+    mats = Materials(
+        mass=jnp.asarray(mass_integ, dtype),
+        volume=jnp.asarray(volume, dtype),
+        mu=jnp.asarray(mu, dtype),
+        lam=jnp.asarray(lam, dtype),
+        free=jnp.asarray(free, dtype),
+        external=jnp.asarray(ext, dtype),
+    )
+    scene = Scene(
+        rest_position=jnp.asarray(rest_slots, dtype),
+        materials=mats,
+        topology=None,
+        out_num=int(out_num if out_num is not None else n),
+        blocked=blocked,
+        rest_corr=rest_corr,
+        slot_of_particle=jnp.asarray(sop, jnp.int32),
+    )
+    return scene, sop
+
+
+def stvk_stress_m3(F, mu, lam, scale):
+    """StVK stress in mat3 layout: F (3,3,m), mu/lam/scale (m,)."""
+    E = 0.5 * (mat3.matTmul3(F, F) - mat3.eye3(F))
+    tr = mat3.trace3(E)
+    S = 2.0 * mu * E + lam * tr * mat3.eye3(F)
+    return S * scale
+
+
+def elastic_forces_blocked(pos_slots, ratio_slots, mats: Materials, scene: Scene,
+                           cfg: SimConfig):
+    """Blocked-path elastic forces over slot space.  Differentiable (XLA ref)."""
+    blk: Blocked = scene.blocked
+    m = blk.n_tiles * blk.rows
+    pos_rows = gather_rows(pos_slots, blk)                 # (t, rows, 3)
+    pos_slab = gather_slab(pos_slots, blk)                 # (t, slab, 3)
+    A4, Y4 = moments_xla(pos_rows, pos_slab, blk, cfg)
+    A = mat3.from_trailing(A4.reshape(m, 3, 3))
+    Y = mat3.from_trailing(Y4.reshape(m, 3, 3))
+    if cfg.corotated:
+        R = mat3.polar3(A)
+        nab = mat3.matTmul3(R, Y) - scene.rest_corr
+    else:
+        R = mat3.eye3(A)
+        nab = Y - scene.rest_corr
+    F = mat3.eye3(A) + mat3.transpose3(nab)
+    scale = cfg.stiffness_scale(ratio_slots[:m])
+    S = stvk_stress_m3(F, mats.mu[:m], mats.lam[:m], scale)
+    M = mat3.matmul3(R, mat3.matmul3(F, S))
+    vol_m = mats.volume[:m]
+    G = vol_m * M                                           # V_k R F S
+
+    def to_slot9(X):
+        out = jnp.zeros((blk.n_slots, 9), dtype=pos_slots.dtype)
+        return out.at[:m].set(mat3.to_trailing(X).reshape(m, 9))
+
+    G_rows = mat3.to_trailing(G).reshape(blk.n_tiles, blk.rows, 3, 3)
+    if cfg.pair_def_grad == "j":
+        G_slab = gather_slab(to_slot9(G), blk).reshape(blk.n_tiles, blk.slab_len, 3, 3)
+        f4 = forces_xla(G_rows, G_slab, vol_m.reshape(blk.n_tiles, blk.rows), blk, cfg)
+    else:
+        S_slab = gather_slab(to_slot9(S), blk).reshape(blk.n_tiles, blk.slab_len, 3, 3)
+        R_slab = gather_slab(to_slot9(R), blk).reshape(blk.n_tiles, blk.slab_len, 3, 3)
+        F_rows = mat3.to_trailing(F).reshape(blk.n_tiles, blk.rows, 3, 3)
+        f4 = forces_xla(
+            G_rows, None, vol_m.reshape(blk.n_tiles, blk.rows), blk, cfg,
+            F_rows=F_rows, S_slab=S_slab, R_slab=R_slab, vol_slab=blk.vol_slab,
+        )
+    out = jnp.zeros_like(pos_slots)
+    return out.at[:m].set(f4.reshape(m, 3))

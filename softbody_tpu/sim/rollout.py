@@ -26,6 +26,22 @@ from ..ops.collision import ground_penalty
 from ..ops.elasticity import compute_ratio, elastic_forces
 
 
+def _elastic(pos, ratio, scene: Scene, cfg: SimConfig):
+    """Backend dispatch for the elastic-force evaluation."""
+    if cfg.backend == "gather":
+        f, _ = elastic_forces(pos, ratio, scene.materials, scene.topology, cfg)
+        return f
+    if cfg.backend == "blocked":
+        from .blocked import elastic_forces_blocked
+
+        return elastic_forces_blocked(pos, ratio, scene.materials, scene, cfg)
+    if cfg.backend == "pallas":
+        from .blocked import elastic_forces_pallas
+
+        return elastic_forces_pallas(pos, ratio, scene.materials, scene, cfg)
+    raise ValueError(f"unknown backend {cfg.backend!r}")
+
+
 def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig):
     """external + elastic - damping*v + collision (part_1/part_2, sim.py:246-258)."""
     f = mats.external + f_el - cfg.damping * vel
@@ -50,7 +66,7 @@ def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleS
     if cfg.integrator == "trapezoidal":
         force1 = total_force(pos, vel, f_el, mats, cfg)
         pos_n = pos + (dt * vel + 0.5 * dt * dt * force1 / m) * mats.free
-        f_el_n, _ = elastic_forces(pos_n, ratio, mats, scene.topology, cfg)
+        f_el_n = _elastic(pos_n, ratio, scene, cfg)
         force2 = mats.external + f_el_n - cfg.damping * vel
         if cfg.collision:
             force2 = force2 + ground_penalty(pos_n, cfg)
@@ -58,7 +74,7 @@ def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleS
         return ParticleState(pos_n, vel_n, f_el_n)
 
     # symplectic Euler (advance, sim_taichi.py:167-172)
-    f_el_now, _ = elastic_forces(pos, ratio, mats, scene.topology, cfg)
+    f_el_now = _elastic(pos, ratio, scene, cfg)
     force = total_force(pos, vel, f_el_now, mats, cfg)
     vel_n = vel + dt * force / m * mats.free
     pos_n = pos + dt * vel_n * mats.free
@@ -72,7 +88,7 @@ def initial_state(scene: Scene, ratio, cfg: SimConfig) -> ParticleState:
         jnp.asarray(cfg.initial_velocity, dtype=pos.dtype), pos.shape
     )
     if cfg.integrator == "trapezoidal":
-        f_el, _ = elastic_forces(pos, ratio, scene.materials, scene.topology, cfg)
+        f_el = _elastic(pos, ratio, scene, cfg)
     else:
         f_el = jnp.zeros_like(pos)
     return ParticleState(pos, vel, f_el)

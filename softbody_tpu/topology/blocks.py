@@ -1,0 +1,200 @@
+"""Column-dense slot layout — the TPU-native neighbor structure.
+
+Replaces the reference's CUDA spatial hash (wp.HashGrid, sim.py:123-127) with a
+layout engineered for contiguous DMA and dense tile compute:
+
+* Space is divided into cells of edge >= 2h (one-cell reach).
+* Particles are binned; every occupied (x, y) column stores its z-range of
+  cells densely, each cell padded to a fixed capacity C of "slots".
+* Slot order: column-major over (x, y), contiguous in z within a column.
+* A tile = ``tz`` consecutive cells of one column (tz*C slot rows).
+* The neighborhood of a tile = the 3x3 surrounding columns, each contributing
+  one contiguous z-run of (tz + 2) cells -> the per-step "slab" is 9
+  contiguous slot ranges, fetched with a single XLA gather-of-slices.
+
+Per-pair SPH coefficients are *recomputed from rest geometry* inside the pair
+kernels (cheaper than any stored-table scheme at TPU bandwidth), so the only
+persistent structures are this layout + small static per-slab arrays.
+
+Empty slots carry mass 0 / volume 0 so every pair term vanishes; self-pairs are
+excluded by rest-distance == 0 (rest positions are deduplicated at build).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SlotLayout:
+    """Host-side description of the slot space (all numpy)."""
+
+    cell: float                  # cell edge length (>= 2h)
+    capacity: int                # C: slots per cell
+    tz: int                      # cells per tile (along z)
+    n_slots: int
+    n_tiles: int
+    slab_runs: int               # 9 (3x3 columns)
+    run_len: int                 # L: (tz + 2) * C slots per run
+    slot_of_particle: np.ndarray  # (N,) particle -> slot
+    particle_of_slot: np.ndarray  # (n_slots,) slot -> particle or -1
+    tile_start: np.ndarray       # (n_tiles,) first slot row of each tile
+    slab_start: np.ndarray       # (n_tiles, 9) start slot of each slab run
+
+    @property
+    def slab_len(self) -> int:
+        return self.slab_runs * self.run_len
+
+    @property
+    def tile_rows(self) -> int:
+        return self.tz * self.capacity
+
+
+def build_slot_layout(
+    rest: np.ndarray,
+    support_radius: float,
+    tz: int = 4,
+    capacity: int | None = None,
+    cell_scale: float = 1.0,
+) -> SlotLayout:
+    rest = np.asarray(rest, dtype=np.float64)
+    n = rest.shape[0]
+    cell = support_radius * cell_scale
+    lo = rest.min(axis=0) - 1e-9
+    q = np.floor((rest - lo) / cell).astype(np.int64)
+
+    # capacity: max cell occupancy (median-ish bodies keep this near the mean)
+    key = (q[:, 0] << 42) | (q[:, 1] << 21) | q[:, 2]
+    _, counts = np.unique(key, return_counts=True)
+    occ_max = int(counts.max())
+    C = capacity if capacity is not None else occ_max
+    if C < occ_max:
+        raise ValueError(f"cell capacity {C} < max occupancy {occ_max}")
+
+    # columns: occupied (x, y) with padded z extents
+    col_key = q[:, 0] << 21 | q[:, 1]
+    cols, col_inv = np.unique(col_key, return_inverse=True)
+    n_cols = len(cols)
+    zlo = np.full(n_cols, np.iinfo(np.int64).max)
+    zhi = np.full(n_cols, np.iinfo(np.int64).min)
+    np.minimum.at(zlo, col_inv, q[:, 2])
+    np.maximum.at(zhi, col_inv, q[:, 2])
+    # extend extents by 1 cell both ways so a tile's own column run (tz+2 cells
+    # starting one cell below the tile) always exists, then pad to tile multiple
+    zlo = zlo - 1
+    zhi = zhi + 1
+    n_cells_col = zhi - zlo + 1
+    n_cells_col = np.maximum(n_cells_col, tz + 2)
+    n_cells_col = ((n_cells_col + tz - 1) // tz) * tz
+    col_cell_start = np.concatenate([[0], np.cumsum(n_cells_col)])
+    total_cells = int(col_cell_start[-1])
+    run_cells = tz + 2
+    # one dedicated all-empty run for missing neighbor columns
+    empty_run_start = total_cells * C
+    n_slots = (total_cells + run_cells) * C
+
+    # assign particles to slots
+    cell_index = col_cell_start[col_inv] + (q[:, 2] - zlo[col_inv])
+    order = np.argsort(cell_index, kind="stable")
+    slot_of_particle = np.empty(n, dtype=np.int64)
+    fill = np.zeros(total_cells, dtype=np.int64)
+    for p in order:
+        ci = cell_index[p]
+        slot_of_particle[p] = ci * C + fill[ci]
+        fill[ci] += 1
+    particle_of_slot = np.full(n_slots, -1, dtype=np.int64)
+    particle_of_slot[slot_of_particle] = np.arange(n)
+
+    # tiles: tz cells per tile within each column
+    n_tiles_col = n_cells_col // tz
+    tile_col = np.repeat(np.arange(n_cols), n_tiles_col)
+    tile_z = np.concatenate([np.arange(k) for k in n_tiles_col])  # tile idx within column
+    n_tiles = len(tile_col)
+    tile_cell = col_cell_start[tile_col] + tile_z * tz
+    tile_start = (tile_cell * C).astype(np.int64)
+
+    # slab: for the 3x3 neighbor columns, a z-run of (tz + 2) cells starting one
+    # cell below the tile, clamped into the neighbor column's extent
+    col_lookup = {int(c): i for i, c in enumerate(cols)}
+    cx = (cols >> 21).astype(np.int64)
+    cy = (cols & ((1 << 21) - 1)).astype(np.int64)
+    slab_start = np.zeros((n_tiles, 9), dtype=np.int64)
+    for t in range(n_tiles):
+        ci = tile_col[t]
+        # z of tile start within the column's padded extent
+        z0 = tile_z[t] * tz - 1  # one cell below, in padded-extent coords
+        k = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = col_lookup.get(int(((cx[ci] + dx) << 21) | (cy[ci] + dy)))
+                if nb is None:
+                    slab_start[t, k] = empty_run_start
+                else:
+                    # align the window into the neighbor column's coords:
+                    # same absolute z; shift by extent offset difference
+                    zz = z0 + (zlo[ci] - zlo[nb])
+                    zz = min(max(zz, 0), n_cells_col[nb] - run_cells)
+                    slab_start[t, k] = (col_cell_start[nb] + zz) * C
+                k += 1
+    return SlotLayout(
+        cell=float(cell),
+        capacity=int(C),
+        tz=int(tz),
+        n_slots=int(n_slots),
+        n_tiles=int(n_tiles),
+        slab_runs=9,
+        run_len=int(run_cells * C),
+        slot_of_particle=slot_of_particle,
+        particle_of_slot=particle_of_slot,
+        tile_start=tile_start.astype(np.int32),
+        slab_start=slab_start.astype(np.int32),
+    )
+
+
+def validate_layout(layout: SlotLayout, rest: np.ndarray, support_radius: float) -> dict:
+    """Check every true neighbor pair is covered by its tile's slab.
+
+    Returns coverage/efficiency stats; raises on a miss.
+    """
+    from .neighbors import neighbor_lists
+
+    n = rest.shape[0]
+    lists = neighbor_lists(np.asarray(rest, np.float64), support_radius)
+    rows = layout.tile_rows
+    # slot -> tile of each row slot
+    tile_of_slot = np.full(layout.n_slots, -1, dtype=np.int64)
+    for t in range(layout.n_tiles):
+        tile_of_slot[layout.tile_start[t]: layout.tile_start[t] + rows] = t
+    # slab membership per tile (set of slots)
+    slab_sets: dict[int, set] = {}
+
+    def slab_set(t):
+        if t not in slab_sets:
+            slab_sets[t] = set(
+                np.concatenate(
+                    [np.arange(s, s + layout.run_len) for s in layout.slab_start[t]]
+                ).tolist()
+            )
+        return slab_sets[t]
+
+    missing = 0
+    for i in range(n):
+        si = layout.slot_of_particle[i]
+        t = tile_of_slot[si]
+        ss = slab_set(int(t))
+        for j in lists[i]:
+            if int(layout.slot_of_particle[j]) not in ss:
+                missing += 1
+    if missing:
+        raise AssertionError(f"{missing} neighbor pairs not covered by slabs")
+    real = np.sum(layout.particle_of_slot >= 0)
+    return {
+        "slot_efficiency": real / layout.n_slots,
+        "n_slots": layout.n_slots,
+        "n_tiles": layout.n_tiles,
+        "slab_len": layout.slab_len,
+        "capacity": layout.capacity,
+        "pairs_per_slot": layout.slab_len,
+    }
