@@ -31,7 +31,10 @@ from ..topology.blocks import SlotLayout, build_slot_layout
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["tile_start", "slab_start", "rest_slab", "vol_slab", "mass_slab", "rest_rows"],
+    data_fields=[
+        "tile_start", "slab_start", "rest_slab", "vol_slab", "mass_slab",
+        "rest_rows", "restT_rows", "restT_slab",
+    ],
     meta_fields=["rows", "slab_len", "run_len", "n_tiles", "n_slots"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +47,8 @@ class Blocked:
     vol_slab: jnp.ndarray     # (n_tiles, slab) volumes of slab slots
     mass_slab: jnp.ndarray    # (n_tiles, slab) masses of slab slots
     rest_rows: jnp.ndarray    # (n_tiles, rows, 3) rest positions of tile rows
+    restT_rows: jnp.ndarray   # (n_tiles, 3, rows) transposed (Pallas pair tensors)
+    restT_slab: jnp.ndarray   # (n_tiles, 3, slab) transposed
     rows: int                 # tz * C slot rows per tile
     slab_len: int             # 9 * run_len
     run_len: int
@@ -74,6 +79,27 @@ def gather_slab(arr, blocked: Blocked):
     runs = jax.vmap(one)(starts)                        # (T*9, run, F)
     out = runs.reshape(blocked.n_tiles, blocked.slab_len, F)
     return out[..., 0] if squeeze else out
+
+
+def gather_slabT(arrT, blocked: Blocked):
+    """(F, n_slots) -> (n_tiles, F, slab_len): transposed slab gather.
+
+    Slices run along the minor (slot) axis and concatenate along lanes — no
+    transposes; use when a slab is needed as lane vectors inside a kernel."""
+    F = arrT.shape[0]
+
+    def one_tile(starts9):
+        return jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(
+                    arrT, (jnp.zeros((), starts9.dtype), starts9[k]), (F, blocked.run_len)
+                )
+                for k in range(9)
+            ],
+            axis=1,
+        )
+
+    return jax.vmap(one_tile)(blocked.slab_start)
 
 
 def gather_rows(arr, blocked: Blocked):

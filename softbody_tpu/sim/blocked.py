@@ -18,7 +18,8 @@ from ..config import SimConfig
 from ..core.types import Materials, Scene
 from ..ops import mat3
 from ..ops.blocked import (
-    Blocked, far_grid, forces_xla, gather_rows, gather_slab, moments_xla,
+    Blocked, far_grid, forces_xla, gather_rows, gather_slab, gather_slabT,
+    moments_xla,
 )
 from ..topology.blocks import build_slot_layout
 from .scene import lame_parameters
@@ -79,15 +80,19 @@ def build_blocked_scene(
     )
 
     m_tiles = layout.n_tiles * layout.tile_rows
+    rest_slab = _pregather(rest_slots, layout, dtype)
+    rest_rows = jnp.asarray(
+        rest_slots[:m_tiles].reshape(layout.n_tiles, layout.tile_rows, 3), dtype
+    )
     blocked = Blocked(
         tile_start=jnp.asarray(layout.tile_start, jnp.int32),
         slab_start=jnp.asarray(layout.slab_start, jnp.int32),
-        rest_slab=_pregather(rest_slots, layout, dtype),
+        rest_slab=rest_slab,
         vol_slab=jnp.zeros((layout.n_tiles, layout.slab_len), dtype),
         mass_slab=_pregather(mass, layout, dtype),
-        rest_rows=jnp.asarray(
-            rest_slots[:m_tiles].reshape(layout.n_tiles, layout.tile_rows, 3), dtype
-        ),
+        rest_rows=rest_rows,
+        restT_rows=jnp.swapaxes(rest_rows, 1, 2),
+        restT_slab=jnp.swapaxes(rest_slab, 1, 2),
         rows=layout.tile_rows,
         slab_len=layout.slab_len,
         run_len=layout.run_len,
@@ -156,16 +161,9 @@ def stvk_stress_m3(F, mu, lam, scale):
     return S * scale
 
 
-def elastic_forces_blocked(pos_slots, ratio_slots, mats: Materials, scene: Scene,
-                           cfg: SimConfig):
-    """Blocked-path elastic forces over slot space.  Differentiable (XLA ref)."""
-    blk: Blocked = scene.blocked
-    m = blk.n_tiles * blk.rows
-    pos_rows = gather_rows(pos_slots, blk)                 # (t, rows, 3)
-    pos_slab = gather_slab(pos_slots, blk)                 # (t, slab, 3)
-    A4, Y4 = moments_xla(pos_rows, pos_slab, blk, cfg)
-    A = mat3.from_trailing(A4.reshape(m, 3, 3))
-    Y = mat3.from_trailing(Y4.reshape(m, 3, 3))
+def _mid_section(A, Y, ratio_slots, mats: Materials, scene: Scene, cfg: SimConfig, m):
+    """Per-slot algebra between the two pair stages (mat3 layout, (3,3,m)):
+    polar rotation, deformation gradient, StVK stress, M = R F S, G = V M."""
     if cfg.corotated:
         R = mat3.polar3(A)
         nab = mat3.matTmul3(R, Y) - scene.rest_corr
@@ -178,6 +176,20 @@ def elastic_forces_blocked(pos_slots, ratio_slots, mats: Materials, scene: Scene
     M = mat3.matmul3(R, mat3.matmul3(F, S))
     vol_m = mats.volume[:m]
     G = vol_m * M                                           # V_k R F S
+    return R, F, S, M, G, vol_m
+
+
+def elastic_forces_blocked(pos_slots, ratio_slots, mats: Materials, scene: Scene,
+                           cfg: SimConfig):
+    """Blocked-path elastic forces over slot space.  Differentiable (XLA ref)."""
+    blk: Blocked = scene.blocked
+    m = blk.n_tiles * blk.rows
+    pos_rows = gather_rows(pos_slots, blk)                 # (t, rows, 3)
+    pos_slab = gather_slab(pos_slots, blk)                 # (t, slab, 3)
+    A4, Y4 = moments_xla(pos_rows, pos_slab, blk, cfg)
+    A = mat3.from_trailing(A4.reshape(m, 3, 3))
+    Y = mat3.from_trailing(Y4.reshape(m, 3, 3))
+    R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
 
     def to_slot9(X):
         out = jnp.zeros((blk.n_slots, 9), dtype=pos_slots.dtype)
@@ -197,3 +209,62 @@ def elastic_forces_blocked(pos_slots, ratio_slots, mats: Materials, scene: Scene
         )
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f4.reshape(m, 3))
+
+
+def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
+                          cfg: SimConfig, interpret=None):
+    """Fused Pallas pair kernels + lane-packed XLA mid-section.
+
+    Identical math to :func:`elastic_forces_blocked`; the pair stages run as
+    TPU kernels (ops/pallas/pair_kernels.py) with custom VJPs, so the whole
+    path stays differentiable.
+    """
+    from ..ops.pallas.pair_kernels import forces_pallas, forces_warp_pallas, moments_pallas
+
+    blk: Blocked = scene.blocked
+    t, rows = blk.n_tiles, blk.rows
+    m = t * rows
+    dtype = pos_slots.dtype
+    pos_rows = pos_slots[:m].reshape(t, rows, 3)           # tiles partition slots
+    pos_slab = gather_slab(pos_slots, blk)                 # (t, slab, 3)
+
+    A9, Y9 = moments_pallas(
+        blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
+        pos_rows, pos_slab, cfg.h, interpret,
+    )
+    A = mat3.from_trailing(A9.reshape(m, 3, 3))
+    Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
+    R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
+    vol_rows = vol_m.reshape(t, rows)
+
+    def to_slot9(X):
+        out = jnp.zeros((blk.n_slots, 9), dtype=dtype)
+        return out.at[:m].set(mat3.to_trailing(X).reshape(m, 9))
+
+    if cfg.pair_def_grad == "j":
+        G9_rows = mat3.to_trailing(G).reshape(t, rows, 9)
+        G_slab = gather_slab(to_slot9(G), blk)             # (t, slab, 9)
+        f = forces_pallas(
+            blk.restT_rows, blk.restT_slab, blk.vol_slab,
+            G9_rows, G_slab, vol_rows, cfg.h, interpret,
+        )
+    else:
+        # Warp mode (sim.py:233): F_i pairs with S_j; needs R_j both as matmul
+        # RHS (forward) and lane vectors (backward), and S_j as lane vectors.
+        F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
+        M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
+        S_slabT = gather_slabT(_slot9T(S, blk, m, dtype), blk)
+        R_slab = gather_slab(to_slot9(R), blk)
+        R_slabT = gather_slabT(_slot9T(R, blk, m, dtype), blk)
+        f = forces_warp_pallas(
+            blk.restT_rows, blk.restT_slab, blk.vol_slab,
+            F9_rows, M9_rows, S_slabT, R_slab, R_slabT, vol_rows, cfg.h, interpret,
+        )
+    out = jnp.zeros_like(pos_slots)
+    return out.at[:m].set(f.reshape(m, 3))
+
+
+def _slot9T(X, blk: Blocked, m, dtype):
+    """(3,3,m) mat3 -> (9, n_slots) transposed slot array (zero-padded tail)."""
+    out = jnp.zeros((9, blk.n_slots), dtype=dtype)
+    return out.at[:, :m].set(X.reshape(9, m))

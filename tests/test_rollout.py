@@ -77,10 +77,18 @@ def test_loss_matches_oracle(preset):
 @pytest.mark.parametrize("preset", [warp_parity, taichi_parity])
 @pytest.mark.parametrize("remat", [True, False])
 def test_gradient_matches_finite_differences(preset, remat):
-    """Central-difference check of dL/dx (grad_check semantics, sim.py:418-436)."""
-    pts, cfg, osim, scene = make_case(preset, n_outer=48)
+    """Central-difference check of dL/dx (grad_check semantics, sim.py:418-436).
+
+    The top of the body is clamped (sim_taichi.py:329-331 style) so the falling
+    body deforms — with uniform v0 alone the motion is rigid and dL/dx ~ 0.
+    """
+    pts, cfg, osim, scene = make_case(preset, n_outer=48, dt=2e-6)
+    mask = np.ones((len(pts), 3))
+    mask[pts[:, 1] > np.percentile(pts[:, 1], 85)] = 0.0
+    scene = build_scene(pts, cfg, dirichlet_mask=mask)
+    osim.free = mask
     cfg = cfg.replace(target_frames=2, remat=remat)
-    n_steps = 20
+    n_steps = 40
     rng = np.random.default_rng(3)
     x = rng.normal(size=len(pts)) * 0.5
 
@@ -95,6 +103,7 @@ def test_gradient_matches_finite_differences(preset, remat):
         lambda xv: loss_fn(xv, scene, cfg, jnp.asarray(tp), jnp.asarray(tv), n_steps=n_steps)
     ))(jnp.asarray(x))
     g = np.asarray(g)
+    assert np.abs(g).max() > 1e-12, "degenerate test: gradient numerically zero"
 
     i = int(np.argmax(np.abs(g)))
     for eps in (1e-5, 1e-6):
