@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--warmup-steps", type=int, default=50)
     ap.add_argument("--neighbors", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
+    ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--grad", action="store_true", help="benchmark value_and_grad instead of forward")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -44,12 +46,11 @@ def main():
         if args.verbose:
             print(*a, file=sys.stderr)
 
-    # Scale the procedural body so the total particle count lands near target.
-    n_outer = max(args.particles // 4, 8)
+    # Scale the procedural body so the total particle count lands near target:
+    # one calibration build, then rescale the shell count.
+    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
+    n_outer = max(int(1000 * args.particles / len(probe)), 8)
     pts, out_num = inflatable_sphere(n_outer=n_outer, radius=0.05)
-    if len(pts) > args.particles:
-        pts = pts[: args.particles]
-        out_num = min(out_num, len(pts))
     n = len(pts)
     cfg = warp_parity().replace(
         h=suggest_h(pts, args.neighbors),
@@ -57,38 +58,50 @@ def main():
         dt=1e-6,
         max_neighbors=64,
         target_frames=2,
+        backend=args.backend,
     )
     t0 = time.perf_counter()
-    scene = build_scene(pts, cfg, out_num=out_num)
-    log(f"scene: N={n} K={scene.topology.idx.shape[1]} build={time.perf_counter()-t0:.1f}s "
-        f"device={jax.devices()[0]}")
+    if args.backend in ("pallas", "blocked"):
+        from softbody_tpu.sim.blocked import build_blocked_scene
 
-    x = jnp.zeros(n, dtype=cfg.dtype)
+        scene, sop = build_blocked_scene(pts, cfg, out_num=out_num, tz=args.tz)
+        blk = scene.blocked
+        log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
+            f"slab={blk.slab_len} build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}")
+        n_state = blk.n_slots
+    else:
+        scene = build_scene(pts, cfg, out_num=out_num)
+        log(f"scene: N={n} K={scene.topology.idx.shape[1]} build={time.perf_counter()-t0:.1f}s "
+            f"device={jax.devices()[0]}")
+        n_state = n
+
+    x = jnp.zeros(n_state, dtype=cfg.dtype)
 
     if args.grad:
-        tp = jnp.asarray(np.stack([pts * 1.05, pts * 1.1]), dtype=cfg.dtype)
+        base = np.asarray(scene.rest_position)
+        tp = jnp.asarray(np.stack([base, base]), dtype=cfg.dtype)
         tv = jnp.zeros_like(tp)
 
         @jax.jit
-        def run(xv):
+        def run(xv, sc):
             return jax.value_and_grad(
-                lambda q: loss_fn(q, scene, cfg, tp, tv, n_steps=args.steps)
+                lambda q: loss_fn(q, sc, cfg, tp, tv, n_steps=args.steps)
             )(xv)
 
         def execute():
-            loss, grad = run(x)
+            loss, grad = run(x, scene)
             jax.block_until_ready(grad)
             return loss
         metric_name = "particle_steps_per_sec_fwdbwd"
     else:
 
         @jax.jit
-        def run(xv):
-            _, final, _ = rollout(xv, scene, cfg, n_steps=args.steps)
+        def run(xv, sc):
+            _, final, _ = rollout(xv, sc, cfg, n_steps=args.steps)
             return final
 
         def execute():
-            final = run(x)
+            final = run(x, scene)
             jax.block_until_ready(final.position)
             return final
         metric_name = "particle_steps_per_sec"

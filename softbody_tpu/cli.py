@@ -1,0 +1,159 @@
+"""Experiment CLI — mirrors the reference entry point (sim.py:29-35,440-476):
+
+    python -m softbody_tpu.cli --name pear [--render] [--set_target] [--debug] [--init]
+
+plus TPU-era extensions: --backend {pallas,blocked,gather}, procedural scene
+fallback (--procedural N) when the reference .ply assets are absent, Adam
+optimizer option, and explicit asset/model directories instead of the
+reference's hard-coded absolute paths (sim.py:27,57,60).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="softbody_tpu")
+    # reference flags (sim.py:29-35)
+    p.add_argument("--name", "-n", required=True, type=str)
+    p.add_argument("--render", "-r", action="store_true", default=False)
+    p.add_argument("--set_target", "-t", action="store_true", default=False)
+    p.add_argument("--debug", "-d", action="store_true", default=False)
+    p.add_argument("--init", "-i", action="store_true", default=False)
+    # extensions
+    p.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="gather")
+    p.add_argument("--asset-dir", type=str, default=None,
+                   help="dir with {name}/point_cloud_downsampled.ply etc (sim.py:41-45)")
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="dir with {name}/model_*.pth DeepSDF checkpoints (sim.py:57-60)")
+    p.add_argument("--procedural", type=int, default=None,
+                   help="use a procedural sphere with ~N particles instead of assets")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
+    p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument("--out-dir", type=str, default=".")
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    return p
+
+
+def load_body(args):
+    """Asset body (reference layout) or procedural fallback."""
+    from .geometry.shapes import inflatable_sphere
+
+    if args.procedural is not None or args.asset_dir is None:
+        n = args.procedural or 20000
+        probe, _ = inflatable_sphere(n_outer=1000)
+        n_outer = max(int(1000 * n / len(probe)), 8)
+        pts, out_num = inflatable_sphere(n_outer=n_outer)
+        return {"points": pts, "out_num": out_num, "raw_points": pts,
+                "faces": None, "uv": None}
+    from .geometry.io import load_reference_body
+
+    return load_reference_body(args.asset_dir, args.name)
+
+
+def initial_x(args, body, cfg):
+    """DeepSDF-based x init (sim.py:98-104) when a model dir is given."""
+    n = len(body["points"])
+    if args.model_dir is None:
+        return np.full(n, -1.0)
+    from .models import deepsdf
+
+    model_dir = Path(args.model_dir) / args.name
+    idx_file = model_dir / "min_loss_index.npy"
+    idx = int(np.load(idx_file)) if idx_file.exists() else 10000  # sim.py:56-59
+    params = deepsdf.load_pth(model_dir / f"model_{idx}.pth")
+    return np.asarray(deepsdf.init_x_from_sdf(
+        params, body["raw_points"], body["out_num"], set_target=args.set_target
+    ))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from . import warp_parity
+    from .geometry.shapes import suggest_h
+    from .opt import driver
+    from .sim.scene import build_scene
+
+    body = load_body(args)
+    pts, out_num = body["points"], body["out_num"]
+    cfg = warp_parity().replace(backend="gather", dtype=args.dtype)
+    if args.procedural is not None or args.asset_dir is None:
+        cfg = cfg.replace(h=suggest_h(pts, 32), dt=1e-6)
+    if args.frames is not None:
+        cfg = cfg.replace(frames=args.frames)
+    if cfg.frames < cfg.target_frames:
+        # short episodes (tests/smoke runs): sample every frame
+        cfg = cfg.replace(target_frames=cfg.frames)
+
+    if args.backend in ("pallas", "blocked"):
+        from .sim.blocked import build_blocked_scene
+
+        cfg = cfg.replace(backend=args.backend)
+        scene, sop = build_blocked_scene(pts, cfg, out_num=out_num)
+    else:
+        scene, sop = build_scene(pts, cfg, out_num=out_num), None
+
+    out = Path(args.out_dir)
+    x0 = initial_x(args, body, cfg)
+    n_state = scene.rest_position.shape[0]
+
+    def to_state(x_particles):
+        if sop is None:
+            return x_particles
+        xs = np.zeros(n_state)
+        xs[sop] = x_particles
+        return xs
+
+    target_dir = out / "target" / args.name
+    if args.set_target:
+        driver.generate_targets(to_state(x0), scene, cfg, target_dir)
+        print(f"targets written to {target_dir}")
+    elif args.init:
+        from .sim.rollout import rollout
+        import jax.numpy as jnp
+
+        _, final, _ = rollout(jnp.asarray(to_state(x0), cfg.dtype), scene, cfg)
+        print("forward rollout done; final position mean:",
+              np.asarray(final.position).mean(0))
+    else:
+        tp, tv = driver.load_targets(target_dir, cfg.target_frames)
+        if sop is not None:
+            tp_s = np.tile(np.asarray(scene.rest_position), (len(tp), 1, 1))
+            tv_s = np.zeros_like(tp_s) + np.asarray(cfg.initial_velocity)
+            tp_s[:, sop], tv_s[:, sop] = tp, tv
+            tp, tv = tp_s, tv_s
+        opt_dir = out / "opt" / args.name
+        if args.debug:
+            driver.grad_check(scene, cfg, to_state(np.zeros(len(pts))),
+                              [1e-3, 1e-7, 1e-6, 1e-5, 1e-4], tp, tv)
+            return
+        if args.optimizer == "adam":
+            x_fin, losses = driver.optimize_adam(scene, cfg, to_state(x0), tp, tv)
+            np.save(opt_dir / "x.npy", np.asarray(x_fin))
+            print("adam final loss:", losses[-1])
+        else:
+            result, history = driver.optimize_lbfgs(
+                scene, cfg, to_state(x0), tp, tv, opt_dir=opt_dir,
+                x_target=to_state(x0), maxiter=args.maxiter,
+            )
+            print("L-BFGS done:", result.message)
+
+    if args.render and body["faces"] is not None:
+        from .render.adapters import render_episode
+        from .sim.rollout import rollout
+        import jax.numpy as jnp
+
+        _, _, rec = rollout(jnp.asarray(to_state(x0), cfg.dtype), scene, cfg,
+                            record_every=50)
+        sub = "" if args.set_target else ("_init" if args.init else "_opt")
+        render_episode(np.asarray(rec[0]), out_num, body["faces"], body["uv"],
+                       None, out / "render" / f"{args.name}{sub}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Inverse-design optimization drivers.
+
+Parity surface (sim.py:377-461):
+* scipy L-BFGS-B outer loop over the jit'd episode value-and-grad, with
+  per-iteration artifacts — opt/{name}/x.npy, distances.json, losses.json and
+  matplotlib convergence plots;
+* target generation (--set_target): forward rollout dumping
+  target/{name}/position_i.npy + velocity_i.npy for i = 1..target_frames
+  (sim.py:363-369);
+* analytic-vs-central-finite-difference gradient check (sim.py:418-436).
+
+Plus a TPU-native improvement the reference lacks: an optax Adam path whose
+update step stays on device.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..core.types import Scene
+from ..ops.elasticity import compute_ratio
+from ..sim.rollout import loss_fn, rollout
+from ..utils.io import create_folder
+
+
+def generate_targets(x, scene: Scene, cfg: SimConfig, out_dir, n_steps=None):
+    """Forward episode; dump sampled frames in reference layout (sim.py:363-369).
+
+    Frame i (1-based) is the state after ``interval * i`` steps.
+    Returns (positions (target_frames, N, 3), velocities)."""
+    n_steps = cfg.frames if n_steps is None else n_steps
+    if n_steps % cfg.target_frames != 0:
+        raise ValueError(
+            f"frames={n_steps} must be a multiple of target_frames={cfg.target_frames}"
+        )
+    interval = n_steps // cfg.target_frames
+    _, _, rec = rollout(jnp.asarray(x, cfg.dtype), scene, cfg,
+                        n_steps=n_steps, record_every=interval)
+    pos, vel = np.asarray(rec[0]), np.asarray(rec[1])
+    out = Path(out_dir)
+    create_folder(out, exist_ok=True)
+    for i in range(cfg.target_frames):
+        np.save(out / f"position_{i + 1}.npy", pos[i])
+        np.save(out / f"velocity_{i + 1}.npy", vel[i])
+    return pos, vel
+
+
+def load_targets(target_dir, target_frames: int):
+    """Load target/{name}/*.npy (sim.py:116-121)."""
+    d = Path(target_dir)
+    pos = np.stack([np.load(d / f"position_{i}.npy") for i in range(1, target_frames + 1)])
+    vel = np.stack([np.load(d / f"velocity_{i}.npy") for i in range(1, target_frames + 1)])
+    return pos, vel
+
+
+def ratio_distance(x_opt, x_target, cfg: SimConfig) -> float:
+    """||ratio(x) - ratio(x*)||_2 — the callback's convergence metric
+    (sim.py:408-410)."""
+    r_opt = np.asarray(compute_ratio(jnp.asarray(x_opt), cfg))
+    r_tgt = np.asarray(compute_ratio(jnp.asarray(x_target), cfg))
+    return float(np.linalg.norm(r_opt - r_tgt))
+
+
+def optimize_lbfgs(
+    scene: Scene,
+    cfg: SimConfig,
+    x0: np.ndarray,
+    target_p,
+    target_v,
+    opt_dir=None,
+    x_target=None,
+    maxiter: int = 1000,
+    n_steps=None,
+    verbose: bool = True,
+    plot: bool = True,
+):
+    """scipy L-BFGS-B over the jit'd value_and_grad (sim.py:449-461 parity:
+    maxiter/ftol/gtol, per-iteration x.npy + losses/distances json + plots).
+
+    Returns (result, history dict)."""
+    import scipy.optimize
+
+    tp = jnp.asarray(target_p, cfg.dtype)
+    tv = jnp.asarray(target_v, cfg.dtype)
+    vg = jax.jit(
+        jax.value_and_grad(lambda q, sc: loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps))
+    )
+
+    history = {"losses": [], "distances": [], "xk": []}
+    state = {"last_loss": 0.0, "last_grad": np.zeros_like(x0)}
+    if opt_dir is not None:
+        create_folder(opt_dir, exist_ok=True)
+
+    def loss(x_opt):
+        val, grad = vg(jnp.asarray(x_opt, cfg.dtype), scene)
+        state["last_loss"] = float(val)
+        state["last_grad"] = np.asarray(grad, np.float64)
+        if verbose:
+            print("loss: ", state["last_loss"])
+        return state["last_loss"]
+
+    def jac(x_opt):
+        return state["last_grad"]
+
+    def callback(x_opt):
+        history["losses"].append(state["last_loss"])
+        history["xk"].append(np.asarray(x_opt).copy())
+        if x_target is not None:
+            d = ratio_distance(x_opt, x_target, cfg)
+            history["distances"].append(d)
+            if verbose:
+                print("distance: ", d)
+        if opt_dir is not None:
+            np.save(Path(opt_dir) / "x.npy", x_opt)
+            json.dump(history["distances"], open(Path(opt_dir) / "distances.json", "w"))
+            json.dump(history["losses"], open(Path(opt_dir) / "losses.json", "w"))
+
+    result = scipy.optimize.minimize(
+        loss, np.asarray(x0, np.float64), jac=jac, callback=callback,
+        method="L-BFGS-B",
+        options={"maxiter": maxiter, "ftol": 1e-10, "gtol": 1e-10},
+    )
+    if opt_dir is not None:
+        np.save(Path(opt_dir) / "x.npy", result.x)
+        if plot:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            from matplotlib import pyplot as plt
+
+            if history["distances"]:
+                plt.plot(history["distances"])
+                plt.savefig(Path(opt_dir) / "distance.png")
+                plt.clf()
+            plt.plot(history["losses"])
+            plt.savefig(Path(opt_dir) / "loss.png")
+            plt.clf()
+    return result, history
+
+
+def optimize_adam(
+    scene: Scene,
+    cfg: SimConfig,
+    x0,
+    target_p,
+    target_v,
+    steps: int = 200,
+    learning_rate: float = 0.05,
+    n_steps=None,
+):
+    """On-device Adam (optax): the whole update loop is jit'd — no host
+    round-trips between iterations (capability the reference lacks).
+
+    Returns (x_final, losses)."""
+    import optax
+
+    tp = jnp.asarray(target_p, cfg.dtype)
+    tv = jnp.asarray(target_v, cfg.dtype)
+    opt = optax.adam(learning_rate)
+
+    def f(q, sc):
+        return loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps)
+
+    @jax.jit
+    def run(x, sc):
+        def body(carry, _):
+            x, opt_state = carry
+            val, grad = jax.value_and_grad(f)(x, sc)
+            updates, opt_state = opt.update(grad, opt_state, x)
+            return (optax.apply_updates(x, updates), opt_state), val
+
+        (x, _), losses = jax.lax.scan(body, (x, opt.init(x)), None, length=steps)
+        return x, losses
+
+    x_final, losses = run(jnp.asarray(x0, cfg.dtype), scene)
+    return x_final, np.asarray(losses)
+
+
+def grad_check(scene: Scene, cfg: SimConfig, x0, deltas, target_p, target_v,
+               index=None, n_steps=None, verbose=True):
+    """Analytic vs central finite differences (grad_check, sim.py:418-436).
+
+    Returns list of (delta, analytic, numeric)."""
+    tp = jnp.asarray(target_p, cfg.dtype)
+    tv = jnp.asarray(target_v, cfg.dtype)
+    f = jax.jit(lambda q, sc: loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps))
+    g = jax.jit(jax.grad(lambda q, sc: loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps)))
+
+    grad = np.asarray(g(jnp.asarray(x0, cfg.dtype), scene))
+    i = int(np.argmax(np.abs(grad))) if index is None else index
+    out = []
+    for delta in deltas:
+        xp = np.asarray(x0, np.float64).copy()
+        xp[i] += delta
+        l1 = float(f(jnp.asarray(xp, cfg.dtype), scene))
+        xp[i] -= 2 * delta
+        l2 = float(f(jnp.asarray(xp, cfg.dtype), scene))
+        num = (l1 - l2) / (2 * delta)
+        if verbose:
+            print("grad ana: ", grad[i], "; grad num: ", num)
+        out.append((delta, float(grad[i]), num))
+    return out
