@@ -46,10 +46,16 @@ def main():
         if args.verbose:
             print(*a, file=sys.stderr)
 
-    # Scale the procedural body so the total particle count lands near target:
-    # one calibration build, then rescale the shell count.
-    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
-    n_outer = max(int(1000 * args.particles / len(probe)), 8)
+    # Scale the procedural body so the total particle count lands near target.
+    # N(n_outer) ~= n_outer + a * n_outer^1.5 (inner fill grows superlinearly);
+    # fit `a` on a probe and solve by fixed point.
+    probe_n = 1000
+    probe, _ = inflatable_sphere(n_outer=probe_n, radius=0.05)
+    a = (len(probe) - probe_n) / probe_n**1.5
+    n_outer = probe_n
+    for _ in range(40):
+        n_outer = max(((args.particles - n_outer) / a) ** (2 / 3), 8.0)
+    n_outer = max(int(n_outer), 8)
     pts, out_num = inflatable_sphere(n_outer=n_outer, radius=0.05)
     n = len(pts)
     cfg = warp_parity().replace(

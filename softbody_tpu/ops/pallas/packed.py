@@ -1,0 +1,202 @@
+"""Packed-row slab movement for the pair kernels.
+
+Measured on v5e: XLA gather and Pallas DMA both move data at a fixed ~3.5ns per
+ROW unless rows are 128 floats wide, where they reach memory bandwidth.  So all
+dynamic slab traffic here is packed into (n_groups, 128) arrays:
+
+  positions: 4 floats/slot  -> 32 slots/row   (C % 32 == 0 keeps runs aligned)
+  G (9f):   16 floats/slot  ->  8 slots/row
+  S|R (18f): 32 floats/slot ->  4 slots/row   (Warp mode)
+
+Packing/unpacking is free in XLA (row-major reshapes); the per-tile group-row
+index tables are static (Blocked.gidx32/gidx8/gidx4).  Backward passes scatter
+per-tile slab cotangents back with the same packed rows (.at[].add).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import pair_kernels as pk
+
+
+def pack(arr, width, pad_width, group):
+    """(n_slots, width) -> (n_slots/group, 128) with zero padding to pad_width."""
+    n = arr.shape[0]
+    padded = jnp.concatenate(
+        [arr, jnp.zeros((n, pad_width - width), arr.dtype)], axis=1
+    ) if pad_width > width else arr
+    return padded.reshape(n // group, 128)
+
+
+def gather_packed(packed, gidx, slab, pad_width):
+    """(rows, 128) packed source + (t, slab/group) group rows -> (t, slab, pad_width)."""
+    t = gidx.shape[0]
+    rows = jnp.take(packed, gidx.reshape(-1), axis=0)
+    return rows.reshape(t, slab, pad_width)
+
+
+def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
+    """Transpose of gather_packed: (t, slab, width) cotangent -> (n_slots, width)."""
+    t, slab = cot.shape[0], cot.shape[1]
+    if pad_width > width:
+        cot = jnp.concatenate(
+            [cot, jnp.zeros(cot.shape[:2] + (pad_width - width,), cot.dtype)], axis=2
+        )
+    rows = cot.reshape(t * slab // group, 128)
+    out = jnp.zeros((n_slots // group, 128), cot.dtype)
+    out = out.at[gidx.reshape(-1)].add(rows)
+    return out.reshape(n_slots, pad_width)[:, :width]
+
+
+# --------------------------------------------------------------------- moments
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def moments_packed(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+                   pos_slots, gidx32, h, interpret=False):
+    """A_pq, Y moments with packed-row slab gather.  pos_slots: (n_slots, 3)."""
+    return _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+                               pos_rows, pos_slots, gidx32, h, interpret)[0]
+
+
+def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+                        pos_slots, gidx32, h, interpret):
+    slab = restT_slab.shape[2]
+    pos_slab4 = gather_packed(pack(pos_slots, 3, 4, 32), gidx32, slab, 4)
+    pos_rows4 = jnp.concatenate(
+        [pos_rows, jnp.zeros(pos_rows.shape[:2] + (1,), pos_rows.dtype)], axis=2
+    )
+    out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
+                               pos_rows4, pos_slab4, h, interpret)
+    return out, None
+
+
+def _moments_packed_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+                            pos_slots, gidx32, h, interpret):
+    out, _ = _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+                                 pos_rows, pos_slots, gidx32, h, interpret)
+    return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx32,
+                 pos_slots.shape[0])
+
+
+def _moments_packed_vjp_bwd(h, interpret, res, cts):
+    restT_rows, restT_slab, mass_slab, vol_slab, gidx32, n_slots = res
+    dpr4, dps = pk._moments_vjp_bwd(
+        h, interpret, (restT_rows, restT_slab, mass_slab, vol_slab), cts
+    )[4:6]
+    dpos = scatter_packed_add(dps, gidx32, n_slots, 3, 4, 32)
+    return (None, None, None, None, dpr4, dpos, None)
+
+
+moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
+
+
+# --------------------------------------------------------------------- forces (separable)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def forces_packed(restT_rows, restT_slab, vol_slab, g_rows, g_slots, vol_rows,
+                  gidx8, h, interpret=False):
+    """Separable forces with packed-row G gather.  g_slots: (n_slots, 9)."""
+    return _forces_packed_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+                              vol_rows, gidx8, h, interpret)
+
+
+def _forces_packed_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+                       vol_rows, gidx8, h, interpret):
+    slab = restT_slab.shape[2]
+    g_slab16 = gather_packed(pack(g_slots, 9, 16, 8), gidx8, slab, 16)
+    return pk._forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows,
+                               g_slab16, vol_rows, h, interpret)
+
+
+def _forces_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+                           vol_rows, gidx8, h, interpret):
+    out = _forces_packed_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+                             vol_rows, gidx8, h, interpret)
+    return out, (restT_rows, restT_slab, vol_slab, vol_rows, gidx8,
+                 g_slots.shape[0])
+
+
+def _forces_packed_vjp_bwd(h, interpret, res, df):
+    restT_rows, restT_slab, vol_slab, vol_rows, gidx8, n_slots = res
+    dgr, dgs = pk._forces_vjp_bwd(
+        h, interpret, (restT_rows, restT_slab, vol_slab, vol_rows), df
+    )[3:5]
+    dg_slots = scatter_packed_add(dgs, gidx8, n_slots, 9, 16, 8)
+    return (None, None, None, dgr, dg_slots, None, None)
+
+
+forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
+
+
+# --------------------------------------------------------------------- forces (warp)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def forces_warp_packed(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
+                       sr_slots, vol_rows, gidx4, h, interpret=False):
+    """Warp-mode forces; sr_slots: (n_slots, 18) = [S_9 | R_9] per slot.
+
+    The fused slab arrives as (t, slab, 32); R is consumed as matmul-RHS
+    columns 9..17; S is transposed per chunk inside the kernel (small (L, 9)
+    -> (9, L) relayout).
+    """
+    return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
+                                   m9_rows, sr_slots, vol_rows, gidx4, h,
+                                   interpret)
+
+
+def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
+                            sr_slots, vol_rows, gidx4, h, interpret):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, _, rows = restT_rows.shape
+    slab = restT_slab.shape[2]
+    sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
+    kernel = functools.partial(pk._forces_warp_kernel_packed, h=h,
+                               chunks=pk._WARP_CHUNKS)
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=pk._tile_specs([
+            (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
+            (slab, 32), (rows, 1),
+        ]),
+        out_specs=pk._tile_specs([(rows, 3)])[0],
+        out_shape=jax.ShapeDtypeStruct((t, rows, 3), f9_rows.dtype),
+        interpret=interpret,
+    )(restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
+      sr_slab, vol_rows[:, :, None])
+
+
+def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
+                                m9_rows, sr_slots, vol_rows, gidx4, h, interpret):
+    out = _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
+                                  m9_rows, sr_slots, vol_rows, gidx4, h, interpret)
+    return out, (restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows,
+                 gidx4)
+
+
+def _forces_warp_packed_vjp_bwd(h, interpret, res, df):
+    restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows, gidx4 = res
+    t, _, rows = restT_rows.shape
+    slab = restT_slab.shape[2]
+    n_slots = sr_slots.shape[0]
+    # backward still needs transposed S/R lane slabs: regather (packed) and
+    # transpose in XLA — backward pays a relayout, forward stays bandwidth-fast
+    sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
+    s_slabT = jnp.swapaxes(sr_slab[..., :9], 1, 2)
+    r_slabT = jnp.swapaxes(sr_slab[..., 9:18], 1, 2)
+    df9, dm9, dsT, dr = pk._forces_warp_vjp_bwd(
+        h, interpret,
+        (restT_rows, restT_slab, vol_slab, f9_rows, s_slabT, r_slabT, vol_rows),
+        df,
+    )[3:7]
+    ds = jnp.swapaxes(dsT, 1, 2)
+    dsr = jnp.concatenate([ds, dr], axis=-1)              # (t, slab, 18)
+    dsr_slots = scatter_packed_add(dsr, gidx4, n_slots, 18, 32, 4)
+    return (None, None, None, df9, dm9, dsr_slots, None, None)
+
+
+forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)

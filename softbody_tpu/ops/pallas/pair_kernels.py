@@ -10,13 +10,21 @@ restructured):
 * ``forces``: pair force contraction against the G = V R F S slab (Taichi
   separable mode) or R/S slabs + local F (Warp mode, sim.py:233).
 
-Both are linear (moments/taichi-forces) or bilinear (warp-forces) in their
-dynamic inputs, with custom VJPs implemented as Pallas kernels of the same
-shape; the slab gather/scatter around them stays in XLA and differentiates
-automatically.
+Performance structure (measured on v5e): per-tile grid overhead and the pair
+coefficient computation are negligible; what matters is issuing FEW LARGE MXU
+dots.  Each kernel therefore concatenates its per-component pair tensors along
+the sublane axis and performs ONE dot per stage:
 
-Tile shapes: rows = tz*C slot rows, slab = 9*(tz+2)*C.  Pair tensors are
-(rows, slab) f32 in VMEM.
+  moments:        [C0;C1;C2;D0;D1;D2] (6 rows, slab) @ pos_slab (slab, 3)
+  forces (sep.):  [NW0;NW1;NW2]       (3 rows, slab) @ G_slab   (slab, 9)
+  forces (warp):  [u'0;u'1;u'2]       (3 rows, slab) @ R_slab   (slab, 9)
+
+The warp kernels chunk the slab (``_WARP_CHUNKS``) to bound live VMEM.
+
+All kernels are linear (moments/separable-forces) or bilinear (warp-forces) in
+their dynamic inputs, with custom VJPs implemented as Pallas kernels of the
+same shape (row-axis contractions); the slab gather/scatter around them stays
+in XLA and differentiates automatically.
 """
 
 from __future__ import annotations
@@ -28,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_WARP_CHUNKS = 3
+
 
 def _interpret_default():
     return jax.default_backend() != "tpu"
@@ -36,8 +46,8 @@ def _interpret_default():
 def _pair_coeffs(restT_rows, restT_slab, h):
     """Per-pair dx components, kernel value w and gradient factor gfac.
 
-    restT_rows: (3, rows); restT_slab: (3, slab) ->
-    dx: 3 x (rows, slab); w, gfac: (rows, slab).  Self-pairs (r == 0) -> 0.
+    restT_rows: (3, rows); restT_slab: (3, S) ->
+    dx: 3 x (rows, S); w, gfac: (rows, S).  Self-pairs (r == 0) -> 0.
     grad_W(x_ij) = gfac * dx with x_ij = X_i - X_j = dx.
     """
     dx = [restT_rows[b][:, None] - restT_slab[b][None, :] for b in range(3)]
@@ -62,93 +72,87 @@ def _pair_coeffs(restT_rows, restT_slab, h):
 
 
 def _dot(a, b):
+    """(m, S) @ (S, n)."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype
     )
 
 
 def _dot_rows(a, b):
-    """Contract the ROWS axis: (rows, slab) x (rows, F) -> (slab, F)."""
+    """Contract the ROWS axis: (rows, S) x (rows, F) -> (S, F)."""
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=a.dtype
     )
 
 
-# ============================================================ moments (K1)
-def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                    pos_rows_ref, pos_slab_ref, a_ref, y_ref, *, h, runs):
-    """Loops over the 9 slab runs so only (rows, run_len) pair tensors are live
-    in VMEM (a full (rows, slab) working set overflows VMEM at production
-    capacities)."""
-    rr = restT_rows_ref[0]          # (3, rows)
-    pos_rows = pos_rows_ref[0]      # (rows, 3)
-    slab = restT_slab_ref.shape[2]
-    L = slab // runs
-    a_cols = [None, None, None]
-    y_cols = [None, None, None]
-    for k in range(runs):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        cA = w * mass_slab_ref[0, :, k * L:(k + 1) * L]
-        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
-        pos_slab = pos_slab_ref[0, k * L:(k + 1) * L, :]
-        for b in range(3):
-            Cb = cA * (-dx[b])          # c * X_ji[b]
-            Db = gv * dx[b]             # (gfac V_j) * dx[b]; nw = gfac*dx
-            dotC = _dot(Cb, pos_slab)   # (rows, 3): sum_s Cb * p_j
-            dotD = _dot(Db, pos_slab)
-            rsC = jnp.sum(Cb, axis=1, keepdims=True)   # (rows, 1)
-            rsD = jnp.sum(Db, axis=1, keepdims=True)
-            # A[r, a, b] = dotC[r, a] - p_i[r, a] * rsC[r]
-            acc_a = dotC - pos_rows * rsC
-            acc_y = dotD - pos_rows * rsD
-            a_cols[b] = acc_a if a_cols[b] is None else a_cols[b] + acc_a
-            y_cols[b] = acc_y if y_cols[b] is None else y_cols[b] + acc_y
-    # assemble (rows, 9) with column order 3*a + b
-    a_ref[0] = jnp.concatenate(
-        [jnp.stack([a_cols[b][:, a] for b in range(3)], axis=1) for a in range(3)], axis=1
-    )
-    y_ref[0] = jnp.concatenate(
-        [jnp.stack([y_cols[b][:, a] for b in range(3)], axis=1) for a in range(3)], axis=1
-    )
-
-
-def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                        da_ref, dy_ref, dpr_ref, dps_ref, *, h, runs):
-    rr = restT_rows_ref[0]
-    da = da_ref[0]                  # (rows, 9), cols 3a+b
-    dy = dy_ref[0]
-    dpr = jnp.zeros_like(dpr_ref[0])   # (rows, 3)
-    da_bs = [jnp.stack([da[:, 3 * a + b] for a in range(3)], axis=1) for b in range(3)]
-    dy_bs = [jnp.stack([dy[:, 3 * a + b] for a in range(3)], axis=1) for b in range(3)]
-    slab = restT_slab_ref.shape[2]
-    L = slab // runs
-    for k in range(runs):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        cA = w * mass_slab_ref[0, :, k * L:(k + 1) * L]
-        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
-        dps_k = None
-        for b in range(3):
-            Cb = cA * (-dx[b])
-            Db = gv * dx[b]
-            # d pos_slab += Cb^T @ da_b + Db^T @ dy_b
-            contrib = _dot_rows(Cb, da_bs[b]) + _dot_rows(Db, dy_bs[b])
-            dps_k = contrib if dps_k is None else dps_k + contrib
-            # d pos_rows -= rowsum * da_b (the -p_i term)
-            rsC = jnp.sum(Cb, axis=1, keepdims=True)
-            rsD = jnp.sum(Db, axis=1, keepdims=True)
-            dpr = dpr - rsC * da_bs[b] - rsD * dy_bs[b]
-        dps_ref[0, k * L:(k + 1) * L, :] = dps_k
-    dpr_ref[0] = dpr
-
-
 def _tile_specs(shapes):
-    """BlockSpec per input: block = one tile along axis 0."""
+    """BlockSpec per operand: block = one tile along axis 0."""
     return [
         pl.BlockSpec((1,) + s, lambda t: (t,) + (0,) * len(s), memory_space=pltpu.VMEM)
         for s in shapes
     ]
+
+
+def _cols(mat9, b):
+    """(rows, 9) -> (rows, 3): columns [3a+b for a in 0..2]."""
+    return jnp.stack([mat9[:, 3 * a + b] for a in range(3)], axis=1)
+
+
+# ============================================================ moments (K1)
+def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
+                    pos_rows_ref, pos_slab_ref, a_ref, y_ref, *, h):
+    rr = restT_rows_ref[0]          # (3, rows)
+    rs = restT_slab_ref[0]          # (3, slab)
+    dx, w, gfac = _pair_coeffs(rr, rs, h)
+    cA = w * mass_slab_ref[0]       # (rows, slab)
+    gv = gfac * vol_slab_ref[0]
+    pos_slab = pos_slab_ref[0]      # (slab, 3)
+    pos_rows = pos_rows_ref[0]      # (rows, 3)
+    rows = rr.shape[1]
+
+    # one big LHS: [C0; C1; C2; D0; D1; D2] (6 rows, slab)
+    lhs = jnp.concatenate(
+        [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
+    )
+    dots = _dot(lhs, pos_slab)                       # (6 rows, 3)
+    rowsum = jnp.sum(lhs, axis=1, keepdims=True)     # (6 rows, 1)
+    corr = dots - jnp.concatenate([pos_rows] * 6, axis=0) * rowsum
+    # A[r, 3a+b] = corr[b*rows:(b+1)*rows, a]; Y likewise from the D half
+    a_ref[0] = jnp.concatenate(
+        [jnp.stack([corr[b * rows:(b + 1) * rows, a] for b in range(3)], axis=1)
+         for a in range(3)], axis=1,
+    )
+    y_ref[0] = jnp.concatenate(
+        [jnp.stack([corr[(3 + b) * rows:(4 + b) * rows, a] for b in range(3)], axis=1)
+         for a in range(3)], axis=1,
+    )
+
+
+def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
+                        da_ref, dy_ref, dpr_ref, dps_ref, *, h):
+    rr = restT_rows_ref[0]
+    rs = restT_slab_ref[0]
+    dx, w, gfac = _pair_coeffs(rr, rs, h)
+    cA = w * mass_slab_ref[0]
+    gv = gfac * vol_slab_ref[0]
+    da = da_ref[0]                  # (rows, 9), cols 3a+b
+    dy = dy_ref[0]
+    rows = rr.shape[1]
+    lhs = jnp.concatenate(
+        [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
+    )
+    cts = jnp.concatenate(
+        [_cols(da, b) for b in range(3)] + [_cols(dy, b) for b in range(3)], axis=0
+    )                                                # (6 rows, 3)
+    # d pos_slab = sum over the 6 stacked blocks of LHS_blk^T @ ct_blk
+    dps_ref[0] = _dot_rows(lhs, cts)
+    # d pos_rows = -sum_blk rowsum(LHS_blk) * ct_blk
+    rowsum = jnp.sum(lhs, axis=1, keepdims=True)
+    dpr = None
+    for blk in range(6):
+        term = rowsum[blk * rows:(blk + 1) * rows] * cts[blk * rows:(blk + 1) * rows]
+        dpr = term if dpr is None else dpr + term
+    dpr_ref[0] = -dpr
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -163,13 +167,14 @@ def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos
                       h, interpret):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
+    pw = pos_rows.shape[-1]   # 3, or 4 when packed-row gathered
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_moments_kernel, h=h, runs=9)
+    kernel = functools.partial(_moments_kernel, h=h)
     out = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (rows, 3), (slab, 3),
+            (3, rows), (3, slab), (1, slab), (1, slab), (rows, pw), (slab, pw),
         ]),
         out_specs=_tile_specs([(rows, 9), (rows, 9)]),
         out_shape=[
@@ -195,7 +200,7 @@ def _moments_vjp_bwd(h, interpret, res, cts):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_moments_bwd_kernel, h=h, runs=9)
+    kernel = functools.partial(_moments_bwd_kernel, h=h)
     dpr, dps = pl.pallas_call(
         kernel,
         grid=(t,),
@@ -217,63 +222,58 @@ moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 # ============================================================ forces (K2, separable)
 def _forces_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, g_rows_ref,
-                   g_slab_ref, vol_rows_ref, f_ref, *, h, runs):
+                   g_slab_ref, vol_rows_ref, f_ref, *, h):
     rr = restT_rows_ref[0]
+    rs = restT_slab_ref[0]
+    dx, w, gfac = _pair_coeffs(rr, rs, h)
     g_rows = g_rows_ref[0]          # (rows, 9) — G_i = V_i M_i
     vol_rows = vol_rows_ref[0]      # (rows, 1)
-    slab = restT_slab_ref.shape[2]
-    L = slab // runs
+    rows = rr.shape[1]
 
-    term = jnp.zeros_like(g_rows[:, :3])
-    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
-    for k in range(runs):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
-        g_slab = g_slab_ref[0, k * L:(k + 1) * L, :]
-        for b in range(3):
-            NWb = gfac * dx[b]          # nw_b pair tensor
-            dotb = _dot(NWb, g_slab)    # (rows, 9): sum_s nw_b * G[*, col]
-            term = term + jnp.stack([dotb[:, 3 * a + b] for a in range(3)], axis=1)
-            svnw[b] = svnw[b] + jnp.sum(gv * dx[b], axis=1, keepdims=True)
-    # term_i = M_i @ sum_v_nw = (G_i / V_i) @ svnw
+    nw_stack = jnp.concatenate([gfac * dx[b] for b in range(3)], axis=0)  # (3 rows, slab)
+    dots = _dot(nw_stack, g_slab_ref[0])            # (3 rows, 9)
+    term = None
+    for b in range(3):
+        col = _cols(dots[b * rows:(b + 1) * rows], b)
+        term = col if term is None else term + col
+    gv_stack = nw_stack * vol_slab_ref[0]           # (3 rows, slab): V_j nw_b stacked
+    svnw = jnp.sum(gv_stack, axis=1, keepdims=True)  # (3 rows, 1)
     vol_safe = jnp.where(vol_rows > 0, vol_rows, 1.0)
     m_rows = g_rows / vol_safe
     term_i = jnp.concatenate(
-        [sum(m_rows[:, 3 * a + b: 3 * a + b + 1] * svnw[b] for b in range(3))
-         for a in range(3)], axis=1,
+        [sum(m_rows[:, 3 * a + b: 3 * a + b + 1] * svnw[b * rows:(b + 1) * rows]
+             for b in range(3)) for a in range(3)], axis=1,
     )
     f_ref[0] = 0.5 * vol_rows * (term + term_i)
 
 
 def _forces_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, vol_rows_ref,
-                       df_ref, dgr_ref, dgs_ref, *, h, runs):
+                       df_ref, dgr_ref, dgs_ref, *, h):
     rr = restT_rows_ref[0]
+    rs = restT_slab_ref[0]
+    dx, w, gfac = _pair_coeffs(rr, rs, h)
     vol_rows = vol_rows_ref[0]
     df = df_ref[0] * (0.5 * vol_rows)          # (rows, 3) scaled cotangent
     vol_safe = jnp.where(vol_rows > 0, vol_rows, 1.0)
     df_over_v = df / vol_safe
-    slab = restT_slab_ref.shape[2]
-    L = slab // runs
-    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
-    for k in range(runs):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
-        dgs_cols = [None] * 9
-        for b in range(3):
-            NWb = gfac * dx[b]
-            # dG_slab[s, 3a+b] = sum_r NWb[r, s] * df[r, a]
-            contrib = _dot_rows(NWb, df)           # (run, 3) indexed by a
-            svnw[b] = svnw[b] + jnp.sum(gv * dx[b], axis=1, keepdims=True)
-            for a in range(3):
-                dgs_cols[3 * a + b] = contrib[:, a: a + 1]
-        dgs_ref[0, k * L:(k + 1) * L, :] = jnp.concatenate(dgs_cols, axis=1)
+    rows = rr.shape[1]
+
+    nw_stack = jnp.concatenate([gfac * dx[b] for b in range(3)], axis=0)
+    # dG_slab[s, 3a+b] = sum_r NWb[r, s] df[r, a]: one rows-contraction with the
+    # cotangent tiled per b-block, then unstack columns.
+    dgs_cols = [None] * 9
+    for b in range(3):
+        cb = _dot_rows(nw_stack[b * rows:(b + 1) * rows], df)    # (slab, 3)
+        for a in range(3):
+            dgs_cols[3 * a + b] = cb[:, a: a + 1]
+    dgs_ref[0] = jnp.concatenate(dgs_cols, axis=1)
+    gv_stack = nw_stack * vol_slab_ref[0]
+    svnw = jnp.sum(gv_stack, axis=1, keepdims=True)
     dgr_cols = [None] * 9
     for b in range(3):
         for a in range(3):
-            # dG_rows[r, 3a+b] = (df[r, a] / V_i) * svnw_b[r]  (the term_i path)
-            dgr_cols[3 * a + b] = df_over_v[:, a: a + 1] * svnw[b]
+            # dG_rows[r, 3a+b] = (df[r, a] / V_i) * svnw_b[r] (the term_i path)
+            dgr_cols[3 * a + b] = df_over_v[:, a: a + 1] * svnw[b * rows:(b + 1) * rows]
     dgr_ref[0] = jnp.concatenate(dgr_cols, axis=1)
 
 
@@ -289,13 +289,14 @@ def _forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
                      h, interpret):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
+    gw = g_slab.shape[-1]     # 9, or 16 when packed-row gathered
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_kernel, h=h, runs=9)
+    kernel = functools.partial(_forces_kernel, h=h)
     return pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 9), (slab, 9), (rows, 1),
+            (3, rows), (3, slab), (1, slab), (rows, 9), (slab, gw), (rows, 1),
         ]),
         out_specs=_tile_specs([(rows, 3)])[0],
         out_shape=jax.ShapeDtypeStruct((t, rows, 3), g_rows.dtype),
@@ -316,7 +317,7 @@ def _forces_vjp_bwd(h, interpret, res, df):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_bwd_kernel, h=h, runs=9)
+    kernel = functools.partial(_forces_bwd_kernel, h=h)
     dgr, dgs = pl.pallas_call(
         kernel,
         grid=(t,),
@@ -339,73 +340,80 @@ forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
 # ============================================================ forces (K2, Warp mode)
 def _forces_warp_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
                         m9_ref, sT_ref, r_slab_ref, rT_ref, vol_rows_ref,
-                        f_ref, *, h, runs):
+                        f_ref, *, h, chunks):
     """Warp pairing (sim.py:227-234): R_j f_ij with f_ij = V_j F_i S_j (V_i nw).
 
     termj[r, a] = sum_s V_j R_j[a, c] u_c[r, s],  u_c = sum_d F_i[3c+d] z_d,
     z_d[r, s]   = sum_b nw_b[r, s] S_j[3d+b][s].
+    Slab processed in ``chunks`` pieces to bound live VMEM.
     """
     rr = restT_rows_ref[0]
     f9 = f9_ref[0]                  # (rows, 9) F_i
     m9 = m9_ref[0]                  # (rows, 9) M_i = R_i F_i S_i
     vol_rows = vol_rows_ref[0]      # (rows, 1)
+    rows = rr.shape[1]
     slab = restT_slab_ref.shape[2]
-    L = slab // runs
+    L = slab // chunks
 
     termj = jnp.zeros_like(f9[:, :3])
-    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
-    for k in range(runs):
+    svnw = jnp.concatenate([jnp.zeros_like(vol_rows)] * 3, axis=0)  # (3 rows, 1)
+    for k in range(chunks):
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
         dx, w, gfac = _pair_coeffs(rr, rs, h)
-        vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]   # (1, run)
-        gv = gfac * vol_lane
-        sT = sT_ref[0, :, k * L:(k + 1) * L]               # (9, run)
-        r_slab = r_slab_ref[0, k * L:(k + 1) * L, :]       # (run, 9)
+        vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]   # (1, L)
+        sT = sT_ref[0, :, k * L:(k + 1) * L]               # (9, L)
+        r_slab = r_slab_ref[0, k * L:(k + 1) * L, :]       # (L, 9)
         nw = [gfac * dx[b] for b in range(3)]
         z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
+        u_stack = jnp.concatenate(
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3)) * vol_lane
+             for c in range(3)], axis=0,
+        )                                                   # (3 rows, L)
+        dots = _dot(u_stack, r_slab)                        # (3 rows, 9)
         for c in range(3):
-            u_c = sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
-            dotc = _dot(u_c * vol_lane, r_slab)    # (rows, 9)
-            termj = termj + jnp.stack([dotc[:, 3 * a + c] for a in range(3)], axis=1)
-        for b in range(3):
-            svnw[b] = svnw[b] + jnp.sum(gv * dx[b], axis=1, keepdims=True)
+            termj = termj + _cols(dots[c * rows:(c + 1) * rows], c)
+        gv_stack = jnp.concatenate([nw[b] * vol_lane for b in range(3)], axis=0)
+        svnw = svnw + jnp.sum(gv_stack, axis=1, keepdims=True)
     term_i = jnp.concatenate(
-        [sum(m9[:, 3 * a + b: 3 * a + b + 1] * svnw[b] for b in range(3))
-         for a in range(3)], axis=1,
+        [sum(m9[:, 3 * a + b: 3 * a + b + 1] * svnw[b * rows:(b + 1) * rows]
+             for b in range(3)) for a in range(3)], axis=1,
     )
     f_ref[0] = 0.5 * vol_rows * (termj + term_i)
 
 
 def _forces_warp_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
                             sT_ref, rT_ref, vol_rows_ref, df_ref,
-                            df9_ref, dm9_ref, dsT_ref, dr_ref, *, h, runs):
+                            df9_ref, dm9_ref, dsT_ref, dr_ref, *, h, chunks):
     rr = restT_rows_ref[0]
     f9 = f9_ref[0]
     vol_rows = vol_rows_ref[0]
     df = df_ref[0] * (0.5 * vol_rows)          # (rows, 3)
+    rows = rr.shape[1]
     slab = restT_slab_ref.shape[2]
-    L = slab // runs
+    L = slab // chunks
 
-    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
+    svnw = jnp.concatenate([jnp.zeros_like(vol_rows)] * 3, axis=0)
     df9_acc = [jnp.zeros_like(vol_rows) for _ in range(9)]
-    for k in range(runs):
+    for k in range(chunks):
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
         dx, w, gfac = _pair_coeffs(rr, rs, h)
         vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]
-        gv = gfac * vol_lane
         sT = sT_ref[0, :, k * L:(k + 1) * L]
         rT = rT_ref[0, :, k * L:(k + 1) * L]
         nw = [gfac * dx[b] for b in range(3)]
         z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
-        for b in range(3):
-            svnw[b] = svnw[b] + jnp.sum(gv * dx[b], axis=1, keepdims=True)
+        gv_stack = jnp.concatenate([nw[b] * vol_lane for b in range(3)], axis=0)
+        svnw = svnw + jnp.sum(gv_stack, axis=1, keepdims=True)
 
         # dR_slab[s, 3a+c] = sum_r u'_c[r, s] df[r, a]
+        u_stack = jnp.concatenate(
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3)) * vol_lane
+             for c in range(3)], axis=0,
+        )
         dr_cols = [None] * 9
         wprime = []
         for c in range(3):
-            u_c = sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
-            contrib = _dot_rows(u_c * vol_lane, df)     # (run, 3) indexed by a
+            contrib = _dot_rows(u_stack[c * rows:(c + 1) * rows], df)   # (L, 3)
             for a in range(3):
                 dr_cols[3 * a + c] = contrib[:, a: a + 1]
             # w'_c[r, s] = V_j sum_a df[r, a] R_j[3a+c][s]
@@ -425,14 +433,14 @@ def _forces_warp_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref
         ds_rows = [None] * 9
         for d in range(3):
             for b in range(3):
-                ds_rows[3 * d + b] = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)  # (1, run)
+                ds_rows[3 * d + b] = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)  # (1, L)
         dsT_ref[0, :, k * L:(k + 1) * L] = jnp.concatenate(ds_rows, axis=0)
 
     # dM[r, 3a+b] = df[r, a] * svnw_b[r]
     dm_cols = [None] * 9
     for a in range(3):
         for b in range(3):
-            dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b]
+            dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b * rows:(b + 1) * rows]
     dm9_ref[0] = jnp.concatenate(dm_cols, axis=1)
     df9_ref[0] = jnp.concatenate(df9_acc, axis=1)
 
@@ -456,7 +464,7 @@ def _forces_warp_fwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_warp_kernel, h=h, runs=9)
+    kernel = functools.partial(_forces_warp_kernel, h=h, chunks=_WARP_CHUNKS)
     return pl.pallas_call(
         kernel,
         grid=(t,),
@@ -484,7 +492,7 @@ def _forces_warp_vjp_bwd(h, interpret, res, df):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_warp_bwd_kernel, h=h, runs=9)
+    kernel = functools.partial(_forces_warp_bwd_kernel, h=h, chunks=_WARP_CHUNKS)
     df9, dm9, dsT, dr = pl.pallas_call(
         kernel,
         grid=(t,),
@@ -507,3 +515,46 @@ def _forces_warp_vjp_bwd(h, interpret, res, df):
 
 
 forces_warp_pallas.defvjp(_forces_warp_vjp_fwd, _forces_warp_vjp_bwd)
+
+
+def _forces_warp_kernel_packed(restT_rows_ref, restT_slab_ref, vol_slab_ref,
+                               f9_ref, m9_ref, sr_ref, vol_rows_ref,
+                               f_ref, *, h, chunks):
+    """Warp forces with the fused packed slab: sr_ref (1, slab, 32) holds
+    [S_9 | R_9 | pad] per slot.  R is used as matmul-RHS columns 9..17; S is
+    transposed per chunk into lane vectors."""
+    rr = restT_rows_ref[0]
+    f9 = f9_ref[0]
+    m9 = m9_ref[0]
+    vol_rows = vol_rows_ref[0]
+    rows = rr.shape[1]
+    slab = restT_slab_ref.shape[2]
+    L = slab // chunks
+
+    termj = jnp.zeros_like(f9[:, :3])
+    svnw = jnp.concatenate([jnp.zeros_like(vol_rows)] * 3, axis=0)
+    for k in range(chunks):
+        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
+        dx, w, gfac = _pair_coeffs(rr, rs, h)
+        vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]
+        sr = sr_ref[0, k * L:(k + 1) * L, :]               # (L, 32)
+        sT = sr[:, :9].T                                    # (9, L)
+        nw = [gfac * dx[b] for b in range(3)]
+        z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
+        u_stack = jnp.concatenate(
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3)) * vol_lane
+             for c in range(3)], axis=0,
+        )
+        dots = _dot(u_stack, sr)                            # (3 rows, 32)
+        for c in range(3):
+            block = dots[c * rows:(c + 1) * rows]
+            termj = termj + jnp.stack(
+                [block[:, 9 + 3 * a + c] for a in range(3)], axis=1
+            )
+        gv_stack = jnp.concatenate([nw[b] * vol_lane for b in range(3)], axis=0)
+        svnw = svnw + jnp.sum(gv_stack, axis=1, keepdims=True)
+    term_i = jnp.concatenate(
+        [sum(m9[:, 3 * a + b: 3 * a + b + 1] * svnw[b * rows:(b + 1) * rows]
+             for b in range(3)) for a in range(3)], axis=1,
+    )
+    f_ref[0] = 0.5 * vol_rows * (termj + term_i)

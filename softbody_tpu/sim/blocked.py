@@ -84,6 +84,13 @@ def build_blocked_scene(
     rest_rows = jnp.asarray(
         rest_slots[:m_tiles].reshape(layout.n_tiles, layout.tile_rows, 3), dtype
     )
+    def group_idx(g):
+        # per-tile packed-row indices for group size g (run starts are
+        # multiples of 32 >= g, run_len is a multiple of 32)
+        offs = np.arange(layout.run_len // g, dtype=np.int64)
+        gi = layout.slab_start[:, :, None] // g + offs[None, None, :]
+        return jnp.asarray(gi.reshape(layout.n_tiles, layout.slab_len // g), jnp.int32)
+
     blocked = Blocked(
         tile_start=jnp.asarray(layout.tile_start, jnp.int32),
         slab_start=jnp.asarray(layout.slab_start, jnp.int32),
@@ -93,6 +100,9 @@ def build_blocked_scene(
         rest_rows=rest_rows,
         restT_rows=jnp.swapaxes(rest_rows, 1, 2),
         restT_slab=jnp.swapaxes(rest_slab, 1, 2),
+        gidx32=group_idx(32),
+        gidx8=group_idx(8),
+        gidx4=group_idx(4),
         rows=layout.tile_rows,
         slab_len=layout.slab_len,
         run_len=layout.run_len,
@@ -215,50 +225,54 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                           cfg: SimConfig, interpret=None):
     """Fused Pallas pair kernels + lane-packed XLA mid-section.
 
-    Identical math to :func:`elastic_forces_blocked`; the pair stages run as
-    TPU kernels (ops/pallas/pair_kernels.py) with custom VJPs, so the whole
-    path stays differentiable.
+    Identical math to :func:`elastic_forces_blocked`.  The pair stages run as
+    TPU kernels that FETCH their neighbor slabs from HBM with per-tile async
+    DMAs (ops/pallas/fetch.py) — XLA's gather costs ~3.5ns/row, which would
+    dominate the step.  Custom VJPs keep the whole path differentiable
+    (backward pays an XLA scatter-add for the slab transpose).
     """
-    from ..ops.pallas.pair_kernels import forces_pallas, forces_warp_pallas, moments_pallas
+    from ..ops.pallas.packed import forces_packed, forces_warp_packed, moments_packed
+    from ..ops.pallas.pair_kernels import _interpret_default
 
+    interpret = _interpret_default() if interpret is None else interpret
     blk: Blocked = scene.blocked
     t, rows = blk.n_tiles, blk.rows
     m = t * rows
     dtype = pos_slots.dtype
     pos_rows = pos_slots[:m].reshape(t, rows, 3)           # tiles partition slots
-    pos_slab = gather_slab(pos_slots, blk)                 # (t, slab, 3)
 
-    A9, Y9 = moments_pallas(
+    A9, Y9 = moments_packed(
         blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
-        pos_rows, pos_slab, cfg.h, interpret,
+        pos_rows, pos_slots, blk.gidx32, cfg.h, interpret,
     )
     A = mat3.from_trailing(A9.reshape(m, 3, 3))
     Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
 
-    def to_slot9(X):
-        out = jnp.zeros((blk.n_slots, 9), dtype=dtype)
-        return out.at[:m].set(mat3.to_trailing(X).reshape(m, 9))
+    def to_slot(X, width):
+        out = jnp.zeros((blk.n_slots, width), dtype=dtype)
+        return out.at[:m].set(mat3.to_trailing(X).reshape(m, width))
 
     if cfg.pair_def_grad == "j":
         G9_rows = mat3.to_trailing(G).reshape(t, rows, 9)
-        G_slab = gather_slab(to_slot9(G), blk)             # (t, slab, 9)
-        f = forces_pallas(
+        f = forces_packed(
             blk.restT_rows, blk.restT_slab, blk.vol_slab,
-            G9_rows, G_slab, vol_rows, cfg.h, interpret,
+            G9_rows, to_slot(G, 9), vol_rows, blk.gidx8, cfg.h, interpret,
         )
     else:
-        # Warp mode (sim.py:233): F_i pairs with S_j; needs R_j both as matmul
-        # RHS (forward) and lane vectors (backward), and S_j as lane vectors.
+        # Warp mode (sim.py:233): F_i pairs with S_j; S and R ship as one fused
+        # (n_slots, 18) slab source.
         F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
         M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
-        S_slabT = gather_slabT(_slot9T(S, blk, m, dtype), blk)
-        R_slab = gather_slab(to_slot9(R), blk)
-        R_slabT = gather_slabT(_slot9T(R, blk, m, dtype), blk)
-        f = forces_warp_pallas(
+        sr = jnp.concatenate(
+            [mat3.to_trailing(S).reshape(m, 9), mat3.to_trailing(R).reshape(m, 9)],
+            axis=1,
+        )
+        sr_slots = jnp.zeros((blk.n_slots, 18), dtype=dtype).at[:m].set(sr)
+        f = forces_warp_packed(
             blk.restT_rows, blk.restT_slab, blk.vol_slab,
-            F9_rows, M9_rows, S_slabT, R_slab, R_slabT, vol_rows, cfg.h, interpret,
+            F9_rows, M9_rows, sr_slots, vol_rows, blk.gidx4, cfg.h, interpret,
         )
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f.reshape(m, 3))

@@ -72,6 +72,12 @@ def build_slot_layout(
     C = capacity if capacity is not None else occ_max
     if C < occ_max:
         raise ValueError(f"cell capacity {C} < max occupancy {occ_max}")
+    # Capacity is rounded to a multiple of 32 so that cell boundaries (and
+    # hence slab-run starts) align to 32-slot groups: dynamic slab data is
+    # fetched as packed 128-float rows (32 slots x 4f / 8 slots x 16f), which
+    # is the only gather/DMA shape the TPU moves at bandwidth.  This also makes
+    # tile rows (tz * C) a multiple of 8 (Mosaic sublane alignment).
+    C = ((C + 31) // 32) * 32
 
     # columns: occupied (x, y) with padded z extents
     col_key = q[:, 0] << 21 | q[:, 1]
