@@ -91,3 +91,4 @@ class Scene(NamedTuple):
     blocked: object = None       # ops.blocked.Blocked for the blocked backend
     rest_corr: jnp.ndarray | None = None       # (3, 3, m) static nabla_u rest term
     slot_of_particle: jnp.ndarray | None = None  # (n_particles,) particle -> slot
+    obstacles: object = None     # ops.obstacles.Obstacles (SDF contact), optional

@@ -44,6 +44,7 @@ def build_blocked_scene(
     capacity: int | None = None,
     dirichlet_mask: np.ndarray | None = None,
     external_force: np.ndarray | None = None,
+    obstacles=None,
 ):
     """Returns (scene, slot_of_particle).
 
@@ -159,6 +160,7 @@ def build_blocked_scene(
         blocked=blocked,
         rest_corr=rest_corr,
         slot_of_particle=jnp.asarray(sop, jnp.int32),
+        obstacles=obstacles,
     )
     return scene, sop
 

@@ -42,11 +42,16 @@ def _elastic(pos, ratio, scene: Scene, cfg: SimConfig):
     raise ValueError(f"unknown backend {cfg.backend!r}")
 
 
-def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig):
-    """external + elastic - damping*v + collision (part_1/part_2, sim.py:246-258)."""
+def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig, scene: Scene = None):
+    """external + elastic - damping*v + collision (part_1/part_2, sim.py:246-258)
+    + optional implicit-obstacle penalty (ops/obstacles.py, beyond-reference)."""
     f = mats.external + f_el - cfg.damping * vel
     if cfg.collision:
         f = f + ground_penalty(pos, cfg)
+    if scene is not None and scene.obstacles is not None:
+        from ..ops.obstacles import penalty_force
+
+        f = f + penalty_force(scene.obstacles, pos)
     return f
 
 
@@ -64,18 +69,17 @@ def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleS
     pos, vel, f_el = state
 
     if cfg.integrator == "trapezoidal":
-        force1 = total_force(pos, vel, f_el, mats, cfg)
+        force1 = total_force(pos, vel, f_el, mats, cfg, scene)
         pos_n = pos + (dt * vel + 0.5 * dt * dt * force1 / m) * mats.free
         f_el_n = _elastic(pos_n, ratio, scene, cfg)
-        force2 = mats.external + f_el_n - cfg.damping * vel
-        if cfg.collision:
-            force2 = force2 + ground_penalty(pos_n, cfg)
+        # the velocity-damping term reuses v_t in both halves (sim.py:256-257)
+        force2 = total_force(pos_n, vel, f_el_n, mats, cfg, scene)
         vel_n = vel + dt * (force1 + force2) / (2.0 * m) * mats.free
         return ParticleState(pos_n, vel_n, f_el_n)
 
     # symplectic Euler (advance, sim_taichi.py:167-172)
     f_el_now = _elastic(pos, ratio, scene, cfg)
-    force = total_force(pos, vel, f_el_now, mats, cfg)
+    force = total_force(pos, vel, f_el_now, mats, cfg, scene)
     vel_n = vel + dt * force / m * mats.free
     pos_n = pos + dt * vel_n * mats.free
     return ParticleState(pos_n, vel_n, f_el_now)

@@ -32,6 +32,7 @@ def build_scene(
     poisson_ratio: float | np.ndarray | None = None,
     dirichlet_mask: np.ndarray | None = None,
     external_force: np.ndarray | None = None,
+    obstacles=None,
 ) -> Scene:
     """Build a Scene.  All inputs are host numpy; output leaves are jnp arrays
     of cfg.dtype.  Scalars broadcast per-particle (the reference's all-particle
@@ -74,4 +75,5 @@ def build_scene(
         materials=mats,
         topology=topo,
         out_num=int(out_num if out_num is not None else n),
+        obstacles=obstacles,
     )
