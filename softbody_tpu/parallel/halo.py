@@ -1,0 +1,180 @@
+"""Explicit halo exchange over the particle mesh (shard_map + ppermute).
+
+The baseline sharding path (parallel/sharding.py) lets XLA turn neighbor
+gathers over sharded operands into all-gathers — correct, but it moves every
+particle to every chip.  Static rest topology means each shard's remote
+neighbor rows ("halo") are known at trace time (SURVEY.md §2c), so this module
+builds the plan on the host and runs the exchange explicitly:
+
+* particles are spatially sorted (Morton) before partitioning so halos come
+  from nearby shards;
+* for each hop distance k (1..hops), every shard sends exactly the rows its
+  k-th ring neighbor needs via two ``ppermute`` rotations (left + right) — all
+  traffic rides ICI;
+* neighbor indices are remapped into the local+halo address space, so the
+  per-shard physics is a dense local gather.
+
+``plan.hops`` measures topology quality: 1 for well-sorted bodies; the builder
+falls back toward all-gather-like behavior (hops ~ D/2) only if the sort is
+poor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharding import AXIS
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["send_idx", "local_idx"],
+    meta_fields=["n_devices", "shard", "halo", "hops"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Static halo-exchange plan.
+
+    send_idx:  (D, 2*hops, H) local row indices each device contributes to the
+               ring buffer headed for its (hop, direction) neighbor.
+    local_idx: (D, shard, K) neighbor table remapped into the local+halo
+               address space: [0, shard) local rows, then hop/direction halo
+               blocks of H rows each.
+    """
+
+    send_idx: jnp.ndarray
+    local_idx: jnp.ndarray
+    n_devices: int
+    shard: int
+    halo: int          # H: padded rows per (hop, direction) block
+    hops: int
+
+    @property
+    def ext(self) -> int:
+        return self.shard + 2 * self.hops * self.halo
+
+
+def build_halo_plan(idx: np.ndarray, n_devices: int) -> HaloPlan:
+    """Build the plan from a global (N, K) neighbor table (N % D == 0)."""
+    idx = np.asarray(idx)
+    n, K = idx.shape
+    assert n % n_devices == 0, "pad the scene first"
+    shard = n // n_devices
+    owner = idx // shard                                 # (N, K) owner device
+
+    # required remote rows per (device, signed hop)
+    needed = {}
+    max_hop = 0
+    for d in range(n_devices):
+        rows = idx[d * shard:(d + 1) * shard]
+        own = owner[d * shard:(d + 1) * shard]
+        for e in np.unique(own):
+            if e == d:
+                continue
+            hop = int(e - d)
+            max_hop = max(max_hop, abs(hop))
+            needed[(d, hop)] = np.unique(rows[own == e])
+    hops = max(max_hop, 1)
+    halo = max(
+        (len(v) for v in needed.values()), default=1
+    )
+    halo = ((halo + 7) // 8) * 8
+
+    send_idx = np.zeros((n_devices, 2 * hops, halo), dtype=np.int64)
+    recv_rows = {}
+    for d in range(n_devices):
+        for b in range(2 * hops):
+            # block b: hop k = b//2 + 1; even b receives from device d+k,
+            # odd b from device d-k.  Hops do not wrap (owners are raw device
+            # indices); out-of-range sources leave padding the receiver never
+            # references and a zero send table on the (wrapped) sender.
+            k = b // 2 + 1
+            src = d + k if b % 2 == 0 else d - k
+            if 0 <= src < n_devices:
+                rows = needed.get((d, src - d), np.zeros(0, dtype=np.int64))
+                pad = np.full(halo, src * shard, dtype=np.int64)  # benign dup row
+                pad[: len(rows)] = rows
+                recv_rows[(d, b)] = pad
+                # the source device fills its send buffer with these rows
+                send_idx[src, b] = pad - src * shard
+            else:
+                recv_rows[(d, b)] = np.zeros(0, dtype=np.int64)
+
+    # remap global idx -> local+halo addresses per device
+    local_idx = np.zeros((n_devices, shard, K), dtype=np.int64)
+    for d in range(n_devices):
+        mapping = {}
+        for b in range(2 * hops):
+            base = shard + b * halo
+            for slot, g in enumerate(recv_rows[(d, b)]):
+                mapping.setdefault(int(g), base + slot)
+        rows = idx[d * shard:(d + 1) * shard]
+        own = owner[d * shard:(d + 1) * shard]
+        flat = rows.reshape(-1).copy()
+        own_flat = own.reshape(-1)
+        for i in range(flat.size):
+            if own_flat[i] == d:
+                flat[i] = flat[i] - d * shard
+            else:
+                flat[i] = mapping[int(flat[i])]
+        local_idx[d] = flat.reshape(shard, K)
+
+    return HaloPlan(
+        send_idx=jnp.asarray(send_idx, jnp.int32),
+        local_idx=jnp.asarray(local_idx, jnp.int32),
+        n_devices=n_devices,
+        shard=shard,
+        halo=halo,
+        hops=hops,
+    )
+
+
+def exchange(local, plan: HaloPlan, axis: str = AXIS):
+    """Inside shard_map: (shard, F) per-device block -> (ext, F) local+halo.
+
+    Per (hop, direction) block: every device fills a send buffer with the rows
+    its ring neighbor needs, then one collective_permute rotates the buffers.
+    """
+    d = jax.lax.axis_index(axis)
+    D = plan.n_devices
+    parts = [local]
+    for b in range(2 * plan.hops):
+        k = b // 2 + 1
+        rows = jnp.take(plan.send_idx[d, b], jnp.arange(plan.halo), axis=0)
+        buf = jnp.take(local, rows, axis=0)              # (H, F)
+        if b % 2 == 0:
+            perm = [((i + k) % D, i) for i in range(D)]   # from d+k to d
+        else:
+            perm = [((i - k) % D, i) for i in range(D)]   # from d-k to d
+        parts.append(jax.lax.ppermute(buf, axis, perm))
+    return jnp.concatenate(parts, axis=0)
+
+
+def halo_gather(arr_sharded, plan: HaloPlan, mesh: Mesh, fn):
+    """Run ``fn(local_ext, local_idx_d)`` under shard_map with halo exchange.
+
+    arr_sharded: (N, F) particle-sharded.  fn receives the (ext, F) local+halo
+    block and this device's remapped (shard, K) neighbor table; must return a
+    (shard, ...) per-device result.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P()),
+        out_specs=P(AXIS, None),
+        check_rep=False,
+    )
+    def run(block, plan_):
+        d = jax.lax.axis_index(AXIS)
+        ext = exchange(block, plan_)
+        return fn(ext, plan_.local_idx[d])
+
+    return run(arr_sharded, plan)
