@@ -111,7 +111,8 @@ def main(argv=None):
 
     target_dir = out / "target" / args.name
     if args.set_target:
-        driver.generate_targets(to_state(x0), scene, cfg, target_dir)
+        driver.generate_targets(to_state(x0), scene, cfg, target_dir,
+                                particle_index=sop)
         print(f"targets written to {target_dir}")
     elif args.init:
         from .sim.rollout import rollout

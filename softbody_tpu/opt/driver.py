@@ -29,10 +29,14 @@ from ..sim.rollout import loss_fn, rollout
 from ..utils.io import create_folder
 
 
-def generate_targets(x, scene: Scene, cfg: SimConfig, out_dir, n_steps=None):
+def generate_targets(x, scene: Scene, cfg: SimConfig, out_dir, n_steps=None,
+                     particle_index=None):
     """Forward episode; dump sampled frames in reference layout (sim.py:363-369).
 
     Frame i (1-based) is the state after ``interval * i`` steps.
+    ``particle_index``: for slot-space scenes (blocked backend), the
+    slot_of_particle map — saved targets are always PARTICLE-space, matching
+    the reference file format.
     Returns (positions (target_frames, N, 3), velocities)."""
     n_steps = cfg.frames if n_steps is None else n_steps
     if n_steps % cfg.target_frames != 0:
@@ -43,6 +47,9 @@ def generate_targets(x, scene: Scene, cfg: SimConfig, out_dir, n_steps=None):
     _, _, rec = rollout(jnp.asarray(x, cfg.dtype), scene, cfg,
                         n_steps=n_steps, record_every=interval)
     pos, vel = np.asarray(rec[0]), np.asarray(rec[1])
+    if particle_index is not None:
+        pos = pos[:, np.asarray(particle_index)]
+        vel = vel[:, np.asarray(particle_index)]
     out = Path(out_dir)
     create_folder(out, exist_ok=True)
     for i in range(cfg.target_frames):

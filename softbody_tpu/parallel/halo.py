@@ -163,14 +163,14 @@ def halo_gather(arr_sharded, plan: HaloPlan, mesh: Mesh, fn):
     block and this device's remapped (shard, K) neighbor table; must return a
     (shard, ...) per-device result.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(AXIS, None), P()),
         out_specs=P(AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     def run(block, plan_):
         d = jax.lax.axis_index(AXIS)

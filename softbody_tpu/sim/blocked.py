@@ -27,13 +27,11 @@ from .scene import lame_parameters
 
 def _pregather(arr_np, layout, dtype):
     """Host-side static slab/row pregather: (n_slots, F) -> tile structures."""
-    runs = []
-    for t in range(layout.n_tiles):
-        runs.append(np.stack([
-            arr_np[s: s + layout.run_len] for s in layout.slab_start[t]
-        ]))
-    slab = np.stack(runs).reshape(layout.n_tiles, layout.slab_len, *arr_np.shape[1:])
-    return jnp.asarray(slab, dtype)
+    idx = (
+        layout.slab_start[:, :, None]
+        + np.arange(layout.run_len, dtype=np.int64)[None, None, :]
+    ).reshape(layout.n_tiles, layout.slab_len)
+    return jnp.asarray(arr_np[idx], dtype)
 
 
 def build_blocked_scene(

@@ -101,15 +101,18 @@ def build_slot_layout(
     empty_run_start = total_cells * C
     n_slots = (total_cells + run_cells) * C
 
-    # assign particles to slots
+    # assign particles to slots (vectorized rank-within-cell)
     cell_index = col_cell_start[col_inv] + (q[:, 2] - zlo[col_inv])
     order = np.argsort(cell_index, kind="stable")
+    sorted_ci = cell_index[order]
+    # rank of each particle within its cell = position - first index of its run
+    run_first = np.zeros(n, dtype=np.int64)
+    new_run = np.flatnonzero(np.diff(sorted_ci)) + 1
+    run_first[new_run] = new_run
+    np.maximum.accumulate(run_first, out=run_first)
+    rank = np.arange(n, dtype=np.int64) - run_first
     slot_of_particle = np.empty(n, dtype=np.int64)
-    fill = np.zeros(total_cells, dtype=np.int64)
-    for p in order:
-        ci = cell_index[p]
-        slot_of_particle[p] = ci * C + fill[ci]
-        fill[ci] += 1
+    slot_of_particle[order] = sorted_ci * C + rank
     particle_of_slot = np.full(n_slots, -1, dtype=np.int64)
     particle_of_slot[slot_of_particle] = np.arange(n)
 
