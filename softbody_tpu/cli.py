@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
     p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument("--warm-start", type=str, default=None,
+                   help="x.npy to warm-start L-BFGS from (+1e-2 noise, sim.py:454)")
     p.add_argument("--out-dir", type=str, default=".")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     return p
@@ -129,6 +131,8 @@ def main(argv=None):
             tp_s[:, sop], tv_s[:, sop] = tp, tv
             tp, tv = tp_s, tv_s
         opt_dir = out / "opt" / args.name
+        if args.warm_start:
+            x0 = driver.warm_start_x0(len(pts), args.warm_start)
         if args.debug:
             driver.grad_check(scene, cfg, to_state(np.zeros(len(pts))),
                               [1e-3, 1e-7, 1e-6, 1e-5, 1e-4], tp, tv)

@@ -213,3 +213,14 @@ def grad_check(scene: Scene, cfg: SimConfig, x0, deltas, target_p, target_v,
             print("grad ana: ", grad[i], "; grad num: ", num)
         out.append((delta, float(grad[i]), num))
     return out
+
+
+def warm_start_x0(n: int, warm_path=None, noise: float = 1e-2, seed: int = 0):
+    """Reference warm-start semantics (sim.py:454): load a previous x and add
+    uniform noise; fall back to zeros when no file exists."""
+    rng = np.random.default_rng(seed)
+    if warm_path is not None and Path(warm_path).exists():
+        x0 = np.load(warm_path)
+        if len(x0) == n:
+            return x0 + rng.random(n) * noise
+    return np.zeros(n)
