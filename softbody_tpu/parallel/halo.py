@@ -178,3 +178,96 @@ def halo_gather(arr_sharded, plan: HaloPlan, mesh: Mesh, fn):
         return fn(ext, plan_.local_idx[d])
 
     return run(arr_sharded, plan)
+
+
+def elastic_forces_halo(pos_sharded, ratio_sharded, scene, plan: HaloPlan,
+                        mesh: Mesh, cfg):
+    """Full elastic-force evaluation with explicit halo exchanges.
+
+    The gather-backend physics (ops/elasticity.py) restructured for shard_map:
+    two exchanges per evaluation — positions before the moment/deformation
+    stage, and the per-particle force operands (G, or S|R in Warp mode) before
+    the pair-force contraction.  All per-row tables ride in sharded along the
+    particle axis; only the ring buffers move between chips.
+
+    Returns the (N, 3) particle-sharded elastic forces; numerically identical
+    to the dense single-device path (tested on the CPU mesh).
+    """
+    from jax import shard_map
+
+    from ..ops import mat3
+    from ..sim.blocked import stvk_stress_m3
+
+    topo = scene.topology
+    mats = scene.materials
+    K = topo.idx.shape[1]
+    D = plan.n_devices
+
+    # per-row static tables, passed in particle-sharded
+    tables = (topo.c, topo.vj, topo.nw, topo.xji, topo.rest_corr, topo.sum_v_nw)
+    mat_args = (mats.mu, mats.lam, mats.volume)
+    li = plan.local_idx.reshape(D * plan.shard, K)  # shard along axis 0
+
+    specs_in = (
+        P(AXIS, None),                  # pos
+        P(AXIS),                        # ratio
+        tuple(P(AXIS) if a.ndim == 1 else P(AXIS, *([None] * (a.ndim - 1)))
+              for a in tables),
+        tuple(P(AXIS) for _ in mat_args),
+        P(AXIS, None),                  # local_idx rows
+        P(),                            # plan (send tables replicated)
+    )
+
+    @partial(shard_map, mesh=mesh, in_specs=specs_in,
+             out_specs=P(AXIS, None), check_vma=False)
+    def run(pos, ratio, tabs, mat_a, lidx, plan_):
+        c, vj, nw, xji, rest_corr, sum_v_nw = tabs
+        mu, lam, volume = mat_a
+        ext_pos = exchange(pos, plan_)
+        pj = jnp.take(ext_pos, lidx, axis=0)              # (shard, K, 3)
+        pji = pj - pos[:, None, :]
+        A4 = jnp.einsum("ik,ika,ikb->iab", c, pji, xji)
+        Y4 = jnp.einsum("ik,ika,ikb->iab", vj, pji, nw)
+        A = mat3.from_trailing(A4)
+        Y = mat3.from_trailing(Y4)
+        if cfg.corotated:
+            R = mat3.polar3(A)
+            nab = mat3.matTmul3(R, Y) - mat3.from_trailing(rest_corr)
+        else:
+            R = mat3.eye3(A)
+            nab = Y - mat3.from_trailing(rest_corr)
+        F = mat3.eye3(A) + mat3.transpose3(nab)
+        scale = cfg.stiffness_scale(ratio)
+        S = stvk_stress_m3(F, mu, lam, scale)
+        M = mat3.matmul3(R, mat3.matmul3(F, S))
+
+        if cfg.pair_def_grad == "j":
+            G = volume * M                                 # V_k M_k
+            ext_G = exchange(mat3.to_trailing(G).reshape(-1, 9), plan_)
+            Gj = jnp.take(ext_G, lidx, axis=0).reshape(-1, K, 3, 3)
+            term_j = jnp.einsum("ikab,ikb->ia", Gj, nw)
+        else:
+            SR = jnp.concatenate(
+                [mat3.to_trailing(S).reshape(-1, 9),
+                 mat3.to_trailing(R).reshape(-1, 9),
+                 volume[:, None]], axis=1)
+            ext_SR = exchange(SR, plan_)
+            picked = jnp.take(ext_SR, lidx, axis=0)        # (shard, K, 19)
+            Sj = picked[..., :9].reshape(-1, K, 3, 3)
+            Rj = picked[..., 9:18].reshape(-1, K, 3, 3)
+            Vj_dyn = picked[..., 18]
+            Ft = mat3.to_trailing(F)
+            y = jnp.einsum("iab,ikbc,ikc->ika", Ft, Sj, nw)
+            term_j = jnp.einsum("ik,ikab,ikb->ia", Vj_dyn, Rj, y)
+        term_i = jnp.einsum("iab,ib->ia",
+                            mat3.to_trailing(M), sum_v_nw)
+        return 0.5 * volume[:, None] * (term_j + term_i)
+
+    sh = lambda a: jax.device_put(
+        a, NamedSharding(mesh, P(AXIS, *([None] * (a.ndim - 1)))))
+    return run(
+        pos_sharded, ratio_sharded,
+        tuple(sh(a) for a in tables),
+        tuple(sh(a) for a in mat_args),
+        sh(li), plan,
+    )

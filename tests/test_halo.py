@@ -76,3 +76,40 @@ def test_halo_traffic_smaller_than_allgather():
     assert halo_rows < len(pts), (
         f"halo {halo_rows} rows should beat all-gather of {len(pts)}"
     )
+
+
+import pytest
+from softbody_tpu import taichi_parity
+from softbody_tpu.ops.elasticity import compute_ratio, elastic_forces
+from softbody_tpu.parallel.halo import elastic_forces_halo
+
+
+@pytest.mark.parametrize("preset", [warp_parity, taichi_parity])
+def test_halo_elastic_forces_match_dense(preset):
+    pts, _ = inflatable_sphere(n_outer=96, radius=0.05)
+    pts = pts[: len(pts) - (len(pts) % D)]
+    cfg = preset().replace(h=suggest_h(pts, 14), dtype="float64")
+    perm = morton_sort(pts, 2 * cfg.h)
+    pts = pts[perm]
+    scene = build_scene(pts, cfg)
+
+    rng = np.random.default_rng(3)
+    F = np.eye(3) + 0.05 * rng.normal(size=(3, 3))
+    pos = (pts - pts.mean(0)) @ F.T + pts.mean(0)
+    x = rng.normal(size=len(pts)) * 0.4
+    ratio = compute_ratio(jnp.asarray(x), cfg)
+
+    f_dense, _ = elastic_forces(
+        jnp.asarray(pos), ratio, scene.materials, scene.topology, cfg
+    )
+
+    plan = build_halo_plan(np.asarray(scene.topology.idx), D)
+    mesh = make_mesh(D)
+    pos_sh = jax.device_put(jnp.asarray(pos), particle_sharding(mesh, 2))
+    ratio_sh = jax.device_put(ratio, particle_sharding(mesh, 1))
+    f_halo = elastic_forces_halo(pos_sh, ratio_sh, scene, plan, mesh, cfg)
+
+    scale = np.abs(np.asarray(f_dense)).max()
+    np.testing.assert_allclose(
+        np.asarray(f_halo), np.asarray(f_dense), atol=1e-9 * scale
+    )
