@@ -56,18 +56,19 @@ def _pair_coeffs(restT_rows, restT_slab, h):
     dtype = r2.dtype
     h = jnp.asarray(h, dtype)
     q = r / h
-    c = 1.0 / (jnp.pi * h**3)
-    w_near = c * (1.0 - 1.5 * q * q + 0.75 * q * q * q)
-    tq = 2.0 - q
-    w_far = 0.25 * c * tq * tq * tq
-    w = jnp.where(q < 1.0, w_near, jnp.where(q < 2.0, w_far, 0.0))
-    g_near = c * (-3.0 + 2.25 * q) / (h * h)
-    q_safe = jnp.where(q > 0, q, 1.0)
-    g_far = -0.75 * c * tq * tq / (q_safe * h * h)
-    gfac = jnp.where(q < 1.0, g_near, jnp.where(q < 2.0, g_far, 0.0))
-    live = r2 > 0.0
-    w = jnp.where(live, w, 0.0)
-    gfac = jnp.where(live, gfac, 0.0)
+    c4 = 0.25 / (jnp.pi * h**3)
+    # branchless cubic-spline identity:  W = c/4 [ (2-q)+^3 - 4 (1-q)+^3 ]
+    # and  grad_W = gfac dx with gfac = c/4 [ -3 (2-q)+^2 + 12 (1-q)+^2 ] / (q h^2).
+    # (the q<1 0/0 at q=0 only arises for coincident points = the excluded
+    # self-pair; real particle spacings keep q well away from 0)
+    tq = jnp.maximum(2.0 - q, 0.0)
+    oq = jnp.maximum(1.0 - q, 0.0)
+    tq2 = tq * tq
+    oq2 = oq * oq
+    w = c4 * (tq2 * tq - 4.0 * oq2 * oq)
+    q_safe = jnp.where(r2 > 0.0, q, 1.0)
+    gfac = c4 * (12.0 * oq2 - 3.0 * tq2) / (q_safe * h * h)
+    gfac = jnp.where(r2 > 0.0, gfac, 0.0)
     return dx, w, gfac
 
 
