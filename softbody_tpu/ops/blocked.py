@@ -33,7 +33,7 @@ from ..topology.blocks import SlotLayout, build_slot_layout
     jax.tree_util.register_dataclass,
     data_fields=[
         "tile_start", "slab_start", "rest_slab", "vol_slab", "mass_slab",
-        "rest_rows", "restT_rows", "restT_slab", "gidx32", "gidx8", "gidx4",
+        "rest_rows", "restT_rows", "restT_slab", "gidx8", "gidx4",
     ],
     meta_fields=["rows", "slab_len", "run_len", "n_tiles", "n_slots"],
 )
@@ -49,8 +49,7 @@ class Blocked:
     rest_rows: jnp.ndarray    # (n_tiles, rows, 3) rest positions of tile rows
     restT_rows: jnp.ndarray   # (n_tiles, 3, rows) transposed (Pallas pair tensors)
     restT_slab: jnp.ndarray   # (n_tiles, 3, slab) transposed
-    gidx32: jnp.ndarray       # (n_tiles, slab/32) packed-row indices (pos, 4f/slot)
-    gidx8: jnp.ndarray        # (n_tiles, slab/8)  packed-row indices (G, 16f/slot)
+    gidx8: jnp.ndarray        # (n_tiles, slab/8)  packed-row indices (pos/G, 16f/slot)
     gidx4: jnp.ndarray        # (n_tiles, slab/4)  packed-row indices (S|R, 32f/slot)
     rows: int                 # tz * C slot rows per tile
     slab_len: int             # 9 * run_len

@@ -4,8 +4,8 @@ Measured on v5e: XLA gather and Pallas DMA both move data at a fixed ~3.5ns per
 ROW unless rows are 128 floats wide, where they reach memory bandwidth.  So all
 dynamic slab traffic here is packed into (n_groups, 128) arrays:
 
-  positions: 4 floats/slot  -> 32 slots/row   (C % 32 == 0 keeps runs aligned)
-  G (9f):   16 floats/slot  ->  8 slots/row
+  positions: 16 floats/slot ->  8 slots/row   (8-slot group alignment)
+  G (9f):    16 floats/slot ->  8 slots/row
   S|R (18f): 32 floats/slot ->  4 slots/row   (Warp mode)
 
 Packing/unpacking is free in XLA (row-major reshapes); the per-tile group-row
@@ -55,38 +55,38 @@ def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
 # --------------------------------------------------------------------- moments
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def moments_packed(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
-                   pos_slots, gidx32, h, interpret=False):
+                   pos_slots, gidx8, h, interpret=False):
     """A_pq, Y moments with packed-row slab gather.  pos_slots: (n_slots, 3)."""
     return _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_rows, pos_slots, gidx32, h, interpret)[0]
+                               pos_rows, pos_slots, gidx8, h, interpret)[0]
 
 
 def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
-                        pos_slots, gidx32, h, interpret):
+                        pos_slots, gidx8, h, interpret):
     slab = restT_slab.shape[2]
-    pos_slab4 = gather_packed(pack(pos_slots, 3, 4, 32), gidx32, slab, 4)
-    pos_rows4 = jnp.concatenate(
-        [pos_rows, jnp.zeros(pos_rows.shape[:2] + (1,), pos_rows.dtype)], axis=2
+    pos_slab16 = gather_packed(pack(pos_slots, 3, 16, 8), gidx8, slab, 16)
+    pos_rows16 = jnp.concatenate(
+        [pos_rows, jnp.zeros(pos_rows.shape[:2] + (13,), pos_rows.dtype)], axis=2
     )
     out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_rows4, pos_slab4, h, interpret)
+                               pos_rows16, pos_slab16, h, interpret)
     return out, None
 
 
 def _moments_packed_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
-                            pos_slots, gidx32, h, interpret):
+                            pos_slots, gidx8, h, interpret):
     out, _ = _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                                 pos_rows, pos_slots, gidx32, h, interpret)
-    return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx32,
+                                 pos_rows, pos_slots, gidx8, h, interpret)
+    return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
                  pos_slots.shape[0])
 
 
 def _moments_packed_vjp_bwd(h, interpret, res, cts):
-    restT_rows, restT_slab, mass_slab, vol_slab, gidx32, n_slots = res
+    restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_slots = res
     dpr4, dps = pk._moments_vjp_bwd(
         h, interpret, (restT_rows, restT_slab, mass_slab, vol_slab), cts
     )[4:6]
-    dpos = scatter_packed_add(dps, gidx32, n_slots, 3, 4, 32)
+    dpos = scatter_packed_add(dps, gidx8, n_slots, 3, 16, 8)
     return (None, None, None, None, dpr4, dpos, None)
 
 

@@ -43,16 +43,26 @@ def build_blocked_scene(
     dirichlet_mask: np.ndarray | None = None,
     external_force: np.ndarray | None = None,
     obstacles=None,
+    layout: str = "varcol",
+    rows: int = 32,
 ):
     """Returns (scene, slot_of_particle).
 
     ``scene.rest_position`` etc. live in slot space; map particle-indexed data
     (x, targets, dirichlet masks) through ``slot_of_particle``.
+
+    layout: "varcol" (variable-capacity z-sorted columns — low pair waste,
+    default) or "cells" (fixed-capacity cell grid, tz cells per tile).
     """
     rest = np.asarray(points, dtype=np.float64)
     n = rest.shape[0]
     dtype = cfg.dtype
-    layout = build_slot_layout(rest, 2.0 * cfg.h, tz=tz, capacity=capacity)
+    if layout == "varcol":
+        from ..topology.blocks import build_varcol_layout
+
+        layout = build_varcol_layout(rest, 2.0 * cfg.h, rows=rows)
+    else:
+        layout = build_slot_layout(rest, 2.0 * cfg.h, tz=tz, capacity=capacity)
     ns = layout.n_slots
     sop = layout.slot_of_particle
 
@@ -99,7 +109,6 @@ def build_blocked_scene(
         rest_rows=rest_rows,
         restT_rows=jnp.swapaxes(rest_rows, 1, 2),
         restT_slab=jnp.swapaxes(rest_slab, 1, 2),
-        gidx32=group_idx(32),
         gidx8=group_idx(8),
         gidx4=group_idx(4),
         rows=layout.tile_rows,
@@ -243,7 +252,7 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
 
     A9, Y9 = moments_packed(
         blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
-        pos_rows, pos_slots, blk.gidx32, cfg.h, interpret,
+        pos_rows, pos_slots, blk.gidx8, cfg.h, interpret,
     )
     A = mat3.from_trailing(A9.reshape(m, 3, 3))
     Y = mat3.from_trailing(Y9.reshape(m, 3, 3))

@@ -207,3 +207,144 @@ def validate_layout(layout: SlotLayout, rest: np.ndarray, support_radius: float)
         "capacity": layout.capacity,
         "pairs_per_slot": layout.slab_len,
     }
+
+
+def build_varcol_layout(
+    rest: np.ndarray,
+    support_radius: float,
+    rows: int = 32,
+    cell_scale: float = 1.0,
+) -> SlotLayout:
+    """Variable-capacity column layout ("varcol") — the low-waste successor to
+    the fixed-capacity cell layout above.
+
+    Columns are (x, y) cells of edge >= 2h; WITHIN a column particles are
+    simply z-sorted and stored densely (no per-cell capacity padding).  A tile
+    is ``rows`` consecutive slots of one column; its slab is one z-window per
+    neighbor column, located by searchsorted on the column's z values:
+
+        window = [z_min(tile) - 2h, z_max(tile) + 2h]
+
+    All windows share one global length L (the max over (tile, column),
+    8-aligned so packed-row gathers stay group-aligned); over-fetched slots are
+    either > 2h away in z (w = 0 by geometry) or column padding (mass 0).
+    Columns are padded to max(ceil(len/rows)*rows, L) so windows never cross
+    column boundaries.
+
+    Pair-count waste drops from ~50x (capacity-max x empty cells x cube vs
+    sphere) to ~10-15x; see PERF_NOTES.md.
+    """
+    rest = np.asarray(rest, dtype=np.float64)
+    n = rest.shape[0]
+    cell = support_radius * cell_scale
+    lo = rest.min(axis=0) - 1e-9
+    q = np.floor((rest[:, :2] - lo[:2]) / cell).astype(np.int64)  # (x, y) cells
+    col_key = (q[:, 0] << 21) | q[:, 1]
+    cols, col_inv = np.unique(col_key, return_inverse=True)
+    n_cols = len(cols)
+
+    # sort particles by (column, z)
+    order = np.lexsort((rest[:, 2], col_inv))
+    col_sorted = col_inv[order]
+    z_sorted = rest[order, 2]
+    col_counts = np.bincount(col_inv, minlength=n_cols)
+    col_first = np.concatenate([[0], np.cumsum(col_counts)])  # into sorted order
+
+    # ---- pass 1: window spans in particle counts (padding-independent)
+    # tiles enumerate rows-sized chunks of each column's REAL particles
+    reach = support_radius
+    col_lookup = {int(c): i for i, c in enumerate(cols)}
+    cx = (cols >> 21).astype(np.int64)
+    cy = (cols & ((1 << 21) - 1)).astype(np.int64)
+
+    tile_specs = []      # (col, chunk_index, zlo_tile, zhi_tile)
+    for ci in range(n_cols):
+        cnt = int(col_counts[ci])
+        n_chunks = max((cnt + rows - 1) // rows, 1)
+        for k in range(n_chunks):
+            a = col_first[ci] + k * rows
+            b = min(col_first[ci] + cnt, a + rows)
+            if b > a:
+                zlo_t, zhi_t = z_sorted[a], z_sorted[b - 1]
+            else:  # pure-padding tile (empty column chunk)
+                zlo_t = zhi_t = 0.0
+            tile_specs.append((ci, k, zlo_t - reach, zhi_t + reach))
+
+    # window particle-counts per (tile, neighbor column), 8-aligned start slack
+    L = 8
+    win = []
+    for (ci, k, wlo, whi) in tile_specs:
+        entries = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = col_lookup.get(int(((cx[ci] + dx) << 21) | (cy[ci] + dy)))
+                if nb is None:
+                    entries.append((None, 0, 0))
+                    continue
+                zs = z_sorted[col_first[nb]: col_first[nb] + col_counts[nb]]
+                s = int(np.searchsorted(zs, wlo, side="left"))
+                e = int(np.searchsorted(zs, whi, side="right"))
+                s8 = (s // 8) * 8
+                entries.append((nb, s8, e))
+                L = max(L, e - s8)
+        win.append(entries)
+    L = ((L + 7) // 8) * 8
+
+    # ---- pass 2: slot space with padded columns
+    pad_len = np.maximum(((col_counts + rows - 1) // rows) * rows, L)
+    pad_len = np.maximum(pad_len, rows)
+    col_slot_start = np.concatenate([[0], np.cumsum(pad_len)])
+    empty_run_start = int(col_slot_start[-1])
+    n_slots = empty_run_start + L
+
+    slot_of_particle = np.empty(n, dtype=np.int64)
+    slot_of_particle[order] = (
+        col_slot_start[col_sorted]
+        + (np.arange(n) - col_first[col_sorted])
+    )
+    particle_of_slot = np.full(n_slots, -1, dtype=np.int64)
+    particle_of_slot[slot_of_particle] = np.arange(n)
+
+    n_tiles_col = pad_len // rows
+    n_tiles = int(n_tiles_col.sum())
+    tile_start = np.zeros(n_tiles, dtype=np.int64)
+    slab_start = np.full((n_tiles, 9), empty_run_start, dtype=np.int64)
+
+    # map pass-1 tiles (real chunks) onto pass-2 tile ids; extra padding tiles
+    # (beyond the real chunk count) keep all-empty slabs
+    t_id = 0
+    spec_by_col = {}
+    for idx, spec in enumerate(tile_specs):
+        spec_by_col.setdefault(spec[0], []).append(idx)
+    for ci in range(n_cols):
+        for k in range(int(n_tiles_col[ci])):
+            tile_start[t_id] = col_slot_start[ci] + k * rows
+            specs = spec_by_col.get(ci, [])
+            if k < len(specs):
+                entries = win[specs[k]]
+                for j, (nb, s8, e) in enumerate(entries):
+                    if nb is None:
+                        continue
+                    start = min(s8, int(pad_len[nb]) - L)
+                    start = max(start, 0)
+                    # coverage check: the clamped window must still span [s8, e)
+                    assert start + L >= e, "varcol window underflow — L too small"
+                    slab_start[t_id, j] = col_slot_start[nb] + start
+            t_id += 1
+    assert t_id == n_tiles
+
+    # tile_rows == rows is encoded as tz=1, capacity=rows (SlotLayout reuses
+    # the v1 fields; tile_rows = tz * capacity)
+    return SlotLayout(
+        cell=float(cell),
+        capacity=int(rows),
+        tz=1,
+        n_slots=int(n_slots),
+        n_tiles=n_tiles,
+        slab_runs=9,
+        run_len=int(L),
+        slot_of_particle=slot_of_particle,
+        particle_of_slot=particle_of_slot,
+        tile_start=tile_start.astype(np.int32),
+        slab_start=slab_start.astype(np.int32),
+    )
