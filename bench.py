@@ -30,7 +30,11 @@ def main():
     ap.add_argument("--neighbors", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
+    ap.add_argument("--layout", choices=["varcol", "cells"], default="varcol")
+    ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--tz", type=int, default=4)
+    ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",
+                    help="pair_def_grad semantics: warp=F_i (flagship), taichi=F_j (separable)")
     ap.add_argument("--grad", action="store_true", help="benchmark value_and_grad instead of forward")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -65,12 +69,14 @@ def main():
         max_neighbors=64,
         target_frames=2,
         backend=args.backend,
+        pair_def_grad="i" if args.mode == "warp" else "j",
     )
     t0 = time.perf_counter()
     if args.backend in ("pallas", "blocked"):
         from softbody_tpu.sim.blocked import build_blocked_scene
 
-        scene, sop = build_blocked_scene(pts, cfg, out_num=out_num, tz=args.tz)
+        scene, sop = build_blocked_scene(pts, cfg, out_num=out_num, tz=args.tz,
+                                         layout=args.layout, rows=args.rows)
         blk = scene.blocked
         log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
             f"slab={blk.slab_len} build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}")

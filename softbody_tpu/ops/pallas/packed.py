@@ -22,6 +22,15 @@ import jax.numpy as jnp
 
 from . import pair_kernels as pk
 
+# Backward passes are chunked over tiles: their (chunk, slab, F<128) cotangent
+# temps are lane-padded by XLA (F -> 128, e.g. 14.2x for F=9), so full-size
+# temps blow HBM at production scale.
+_BWD_TILE_CHUNK = 512
+
+
+def _chunks(t):
+    return [(c, min(c + _BWD_TILE_CHUNK, t)) for c in range(0, t, _BWD_TILE_CHUNK)]
+
 
 def pack(arr, width, pad_width, group):
     """(n_slots, width) -> (n_slots/group, 128) with zero padding to pad_width."""
@@ -83,11 +92,20 @@ def _moments_packed_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_row
 
 def _moments_packed_vjp_bwd(h, interpret, res, cts):
     restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_slots = res
-    dpr4, dps = pk._moments_vjp_bwd(
-        h, interpret, (restT_rows, restT_slab, mass_slab, vol_slab), cts
-    )[4:6]
-    dpos = scatter_packed_add(dps, gidx8, n_slots, 3, 16, 8)
-    return (None, None, None, None, dpr4, dpos, None)
+    da, dy = cts
+    t = restT_rows.shape[0]
+    dpr_parts = []
+    dpos = None
+    for (a, b) in _chunks(t):
+        dpr_c, dps_c = pk._moments_vjp_bwd(
+            h, interpret,
+            (restT_rows[a:b], restT_slab[a:b], mass_slab[a:b], vol_slab[a:b]),
+            (da[a:b], dy[a:b]),
+        )[4:6]
+        dpr_parts.append(dpr_c)
+        add = scatter_packed_add(dps_c, gidx8[a:b], n_slots, 3, 16, 8)
+        dpos = add if dpos is None else dpos + add
+    return (None, None, None, None, jnp.concatenate(dpr_parts, axis=0), dpos, None)
 
 
 moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
@@ -120,11 +138,19 @@ def _forces_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
 
 def _forces_packed_vjp_bwd(h, interpret, res, df):
     restT_rows, restT_slab, vol_slab, vol_rows, gidx8, n_slots = res
-    dgr, dgs = pk._forces_vjp_bwd(
-        h, interpret, (restT_rows, restT_slab, vol_slab, vol_rows), df
-    )[3:5]
-    dg_slots = scatter_packed_add(dgs, gidx8, n_slots, 9, 16, 8)
-    return (None, None, None, dgr, dg_slots, None, None)
+    t = restT_rows.shape[0]
+    dgr_parts = []
+    dg_slots = None
+    for (a, b) in _chunks(t):
+        dgr_c, dgs_c = pk._forces_vjp_bwd(
+            h, interpret,
+            (restT_rows[a:b], restT_slab[a:b], vol_slab[a:b], vol_rows[a:b]),
+            df[a:b],
+        )[3:5]
+        dgr_parts.append(dgr_c)
+        add = scatter_packed_add(dgs_c, gidx8[a:b], n_slots, 9, 16, 8)
+        dg_slots = add if dg_slots is None else dg_slots + add
+    return (None, None, None, jnp.concatenate(dgr_parts, axis=0), dg_slots, None, None)
 
 
 forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
@@ -183,20 +209,29 @@ def _forces_warp_packed_vjp_bwd(h, interpret, res, df):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     n_slots = sr_slots.shape[0]
-    # backward still needs transposed S/R lane slabs: regather (packed) and
-    # transpose in XLA — backward pays a relayout, forward stays bandwidth-fast
-    sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
-    s_slabT = jnp.swapaxes(sr_slab[..., :9], 1, 2)
-    r_slabT = jnp.swapaxes(sr_slab[..., 9:18], 1, 2)
-    df9, dm9, dsT, dr = pk._forces_warp_vjp_bwd(
-        h, interpret,
-        (restT_rows, restT_slab, vol_slab, f9_rows, s_slabT, r_slabT, vol_rows),
-        df,
-    )[3:7]
-    ds = jnp.swapaxes(dsT, 1, 2)
-    dsr = jnp.concatenate([ds, dr], axis=-1)              # (t, slab, 18)
-    dsr_slots = scatter_packed_add(dsr, gidx4, n_slots, 18, 32, 4)
-    return (None, None, None, df9, dm9, dsr_slots, None, None)
+    sr_packed = pack(sr_slots, 18, 32, 4)
+    df9_parts, dm9_parts = [], []
+    dsr_slots = None
+    for (a, b) in _chunks(t):
+        # backward needs transposed S/R lane slabs: regather (packed, chunked)
+        # and transpose — backward pays a relayout, forward stays bandwidth-fast
+        sr_slab = gather_packed(sr_packed, gidx4[a:b], slab, 32)
+        s_slabT = jnp.swapaxes(sr_slab[..., :9], 1, 2)
+        r_slabT = jnp.swapaxes(sr_slab[..., 9:18], 1, 2)
+        df9_c, dm9_c, dsT_c, dr_c = pk._forces_warp_vjp_bwd(
+            h, interpret,
+            (restT_rows[a:b], restT_slab[a:b], vol_slab[a:b], f9_rows[a:b],
+             s_slabT, r_slabT, vol_rows[a:b]),
+            df[a:b],
+        )[3:7]
+        df9_parts.append(df9_c)
+        dm9_parts.append(dm9_c)
+        ds_c = jnp.swapaxes(dsT_c, 1, 2)                  # (chunk, slab, 9)
+        dsr_c = jnp.concatenate([ds_c, dr_c], axis=-1)    # (chunk, slab, 18)
+        add = scatter_packed_add(dsr_c, gidx4[a:b], n_slots, 18, 32, 4)
+        dsr_slots = add if dsr_slots is None else dsr_slots + add
+    return (None, None, None, jnp.concatenate(df9_parts, axis=0),
+            jnp.concatenate(dm9_parts, axis=0), dsr_slots, None, None)
 
 
 forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)
