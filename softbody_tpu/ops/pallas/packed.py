@@ -24,12 +24,40 @@ from . import pair_kernels as pk
 
 # Backward passes are chunked over tiles: their (chunk, slab, F<128) cotangent
 # temps are lane-padded by XLA (F -> 128, e.g. 14.2x for F=9), so full-size
-# temps blow HBM at production scale.
+# temps blow HBM at production scale.  Chunks run SEQUENTIALLY via lax.scan
+# (a Python loop's chunks coexist in XLA's buffer schedule — measured: 9
+# concurrent chunks still OOM'd).
 _BWD_TILE_CHUNK = 512
 
 
-def _chunks(t):
-    return [(c, min(c + _BWD_TILE_CHUNK, t)) for c in range(0, t, _BWD_TILE_CHUNK)]
+def _scan_chunks(body, per_tile_args, t, acc_init):
+    """Run ``body(chunk_args) -> (scatter_add, stacked_outs)`` sequentially over
+    equal 512-tile chunks (tail zero-padded: zero rest positions make every
+    pair coefficient vanish, so padded tiles contribute nothing).
+
+    Returns (acc, outs) with outs leaves shaped (t, ...) (tail trimmed).
+    """
+    ch = min(_BWD_TILE_CHUNK, t)
+    n_chunks = -(-t // ch)
+    t_pad = n_chunks * ch
+
+    def prep(a):
+        if t_pad > t:
+            padding = [(0, t_pad - t)] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, padding)
+        return a.reshape((n_chunks, ch) + a.shape[1:])
+
+    stacked = jax.tree.map(prep, per_tile_args)
+
+    def scan_body(acc, chunk_args):
+        add, outs = body(chunk_args)
+        return acc + add, outs
+
+    acc, outs = jax.lax.scan(scan_body, acc_init, stacked)
+    outs = jax.tree.map(
+        lambda o: o.reshape((t_pad,) + o.shape[2:])[:t], outs
+    )
+    return acc, outs
 
 
 def pack(arr, width, pad_width, group):
@@ -94,18 +122,19 @@ def _moments_packed_vjp_bwd(h, interpret, res, cts):
     restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_slots = res
     da, dy = cts
     t = restT_rows.shape[0]
-    dpr_parts = []
-    dpos = None
-    for (a, b) in _chunks(t):
+
+    def body(args):
+        rr, rs, ms, vs, gi, da_c, dy_c = args
         dpr_c, dps_c = pk._moments_vjp_bwd(
-            h, interpret,
-            (restT_rows[a:b], restT_slab[a:b], mass_slab[a:b], vol_slab[a:b]),
-            (da[a:b], dy[a:b]),
+            h, interpret, (rr, rs, ms, vs), (da_c, dy_c)
         )[4:6]
-        dpr_parts.append(dpr_c)
-        add = scatter_packed_add(dps_c, gidx8[a:b], n_slots, 3, 16, 8)
-        dpos = add if dpos is None else dpos + add
-    return (None, None, None, None, jnp.concatenate(dpr_parts, axis=0), dpos, None)
+        return scatter_packed_add(dps_c, gi, n_slots, 3, 16, 8), dpr_c
+
+    dpos, dpr = _scan_chunks(
+        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, da, dy), t,
+        jnp.zeros((n_slots, 3), da.dtype),
+    )
+    return (None, None, None, None, dpr, dpos, None)
 
 
 moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
@@ -139,18 +168,17 @@ def _forces_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
 def _forces_packed_vjp_bwd(h, interpret, res, df):
     restT_rows, restT_slab, vol_slab, vol_rows, gidx8, n_slots = res
     t = restT_rows.shape[0]
-    dgr_parts = []
-    dg_slots = None
-    for (a, b) in _chunks(t):
-        dgr_c, dgs_c = pk._forces_vjp_bwd(
-            h, interpret,
-            (restT_rows[a:b], restT_slab[a:b], vol_slab[a:b], vol_rows[a:b]),
-            df[a:b],
-        )[3:5]
-        dgr_parts.append(dgr_c)
-        add = scatter_packed_add(dgs_c, gidx8[a:b], n_slots, 9, 16, 8)
-        dg_slots = add if dg_slots is None else dg_slots + add
-    return (None, None, None, jnp.concatenate(dgr_parts, axis=0), dg_slots, None, None)
+
+    def body(args):
+        rr, rs, vs, vr, gi, df_c = args
+        dgr_c, dgs_c = pk._forces_vjp_bwd(h, interpret, (rr, rs, vs, vr), df_c)[3:5]
+        return scatter_packed_add(dgs_c, gi, n_slots, 9, 16, 8), dgr_c
+
+    dg_slots, dgr = _scan_chunks(
+        body, (restT_rows, restT_slab, vol_slab, vol_rows, gidx8, df), t,
+        jnp.zeros((n_slots, 9), df.dtype),
+    )
+    return (None, None, None, dgr, dg_slots, None, None)
 
 
 forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
@@ -210,28 +238,27 @@ def _forces_warp_packed_vjp_bwd(h, interpret, res, df):
     slab = restT_slab.shape[2]
     n_slots = sr_slots.shape[0]
     sr_packed = pack(sr_slots, 18, 32, 4)
-    df9_parts, dm9_parts = [], []
-    dsr_slots = None
-    for (a, b) in _chunks(t):
+
+    def body(args):
+        rr, rs, vs, f9_c, vr, gi, df_c = args
         # backward needs transposed S/R lane slabs: regather (packed, chunked)
         # and transpose — backward pays a relayout, forward stays bandwidth-fast
-        sr_slab = gather_packed(sr_packed, gidx4[a:b], slab, 32)
+        sr_slab = gather_packed(sr_packed, gi, slab, 32)
         s_slabT = jnp.swapaxes(sr_slab[..., :9], 1, 2)
         r_slabT = jnp.swapaxes(sr_slab[..., 9:18], 1, 2)
         df9_c, dm9_c, dsT_c, dr_c = pk._forces_warp_vjp_bwd(
-            h, interpret,
-            (restT_rows[a:b], restT_slab[a:b], vol_slab[a:b], f9_rows[a:b],
-             s_slabT, r_slabT, vol_rows[a:b]),
-            df[a:b],
+            h, interpret, (rr, rs, vs, f9_c, s_slabT, r_slabT, vr), df_c
         )[3:7]
-        df9_parts.append(df9_c)
-        dm9_parts.append(dm9_c)
         ds_c = jnp.swapaxes(dsT_c, 1, 2)                  # (chunk, slab, 9)
         dsr_c = jnp.concatenate([ds_c, dr_c], axis=-1)    # (chunk, slab, 18)
-        add = scatter_packed_add(dsr_c, gidx4[a:b], n_slots, 18, 32, 4)
-        dsr_slots = add if dsr_slots is None else dsr_slots + add
-    return (None, None, None, jnp.concatenate(df9_parts, axis=0),
-            jnp.concatenate(dm9_parts, axis=0), dsr_slots, None, None)
+        return scatter_packed_add(dsr_c, gi, n_slots, 18, 32, 4), (df9_c, dm9_c)
+
+    dsr_slots, (df9, dm9) = _scan_chunks(
+        body,
+        (restT_rows, restT_slab, vol_slab, f9_rows, vol_rows, gidx4, df), t,
+        jnp.zeros((n_slots, 18), df.dtype),
+    )
+    return (None, None, None, df9, dm9, dsr_slots, None, None)
 
 
 forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)
