@@ -290,9 +290,12 @@ def build_varcol_layout(
         win.append(entries)
     L = ((L + 7) // 8) * 8
 
-    # ---- pass 2: slot space with padded columns
-    pad_len = np.maximum(((col_counts + rows - 1) // rows) * rows, L)
-    pad_len = np.maximum(pad_len, rows)
+    # ---- pass 2: slot space with padded columns.  Lengths must be multiples
+    # of ``rows`` (tiles partition the slot space contiguously — downstream
+    # code reads tile rows as the [0, n_tiles*rows) prefix) AND >= L (windows
+    # stay within their column).
+    pad_len = np.maximum(((col_counts + rows - 1) // rows) * rows, rows)
+    pad_len = np.maximum(pad_len, ((L + rows - 1) // rows) * rows)
     col_slot_start = np.concatenate([[0], np.cumsum(pad_len)])
     empty_run_start = int(col_slot_start[-1])
     n_slots = empty_run_start + L
@@ -332,6 +335,10 @@ def build_varcol_layout(
                     slab_start[t_id, j] = col_slot_start[nb] + start
             t_id += 1
     assert t_id == n_tiles
+    # contiguity invariant: tiles partition [0, n_tiles * rows)
+    assert np.array_equal(tile_start, np.arange(n_tiles, dtype=np.int64) * rows), (
+        "varcol tiles must be a contiguous slot prefix"
+    )
 
     # tile_rows == rows is encoded as tz=1, capacity=rows (SlotLayout reuses
     # the v1 fields; tile_rows = tz * capacity)

@@ -119,3 +119,25 @@ def test_gradient_matches_gather():
     g_b = jax.grad(f_b)(x)
     scale = np.abs(np.asarray(g_g)).max()
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_g), atol=1e-8 * scale)
+
+
+def test_varcol_rest_forces_vanish_f32():
+    """Regression: varcol column padding must keep tiles a contiguous slot
+    prefix (a max(.,L) pad that wasn't a rows-multiple silently misaligned
+    rows vs tile_start, producing ~1e23 'rest' forces in f32)."""
+    from softbody_tpu.sim.blocked import elastic_forces_blocked
+    from softbody_tpu.ops.elasticity import compute_ratio
+
+    # small body at a large-ish h -> L exceeds several column lengths, which is
+    # exactly the shape that triggered the old misalignment
+    pts, out_num = inflatable_sphere(n_outer=300, radius=0.05)
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 16), dtype="float32", backend="blocked"
+    )
+    scene, sop = build_blocked_scene(pts, cfg, out_num=out_num)
+    ns = scene.rest_position.shape[0]
+    # the inflation field only scales stress; at rest the force must be ~0
+    x = jnp.zeros(ns, jnp.float32).at[jnp.asarray(sop)].set(1.5)
+    ratio = compute_ratio(x, cfg)
+    f = elastic_forces_blocked(scene.rest_position, ratio, scene.materials, scene, cfg)
+    assert float(jnp.abs(f).max()) < 1.0, float(jnp.abs(f).max())

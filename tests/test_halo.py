@@ -113,3 +113,38 @@ def test_halo_elastic_forces_match_dense(preset):
     np.testing.assert_allclose(
         np.asarray(f_halo), np.asarray(f_dense), atol=1e-9 * scale
     )
+
+
+def test_halo_rollout_matches_dense():
+    from softbody_tpu.parallel.halo import halo_rollout
+    from softbody_tpu import rollout as dense_rollout
+
+    pts, _ = inflatable_sphere(n_outer=96, radius=0.05)
+    pts = pts[: len(pts) - (len(pts) % D)]
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 14), dtype="float64", dt=1e-6, target_frames=2,
+        initial_velocity=(0.0, -0.4, 0.0), external_force=(0.0, -1e-3, 0.0),
+    )
+    pts = pts[morton_sort(pts, 2 * cfg.h)]
+    scene = build_scene(pts, cfg)
+    plan = build_halo_plan(np.asarray(scene.topology.idx), D)
+    mesh = make_mesh(D)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=len(pts)) * 0.3)
+    tp = jnp.asarray(np.stack([pts * 1.1, pts * 1.2]))
+    tv = jnp.zeros_like(tp)
+
+    from softbody_tpu.sim.rollout import loss_fn
+    l_ref = float(loss_fn(x, scene, cfg, tp, tv, n_steps=10))
+    _, fin_ref, _ = dense_rollout(x, scene, cfg, n_steps=10)
+
+    x_sh = jax.device_put(x, particle_sharding(mesh, 1))
+    l_halo, fin_halo = jax.jit(
+        lambda q: halo_rollout(q, scene, plan, mesh, cfg, tp, tv, n_steps=10)
+    )(x_sh)
+
+    np.testing.assert_allclose(float(l_halo), l_ref, rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(fin_halo.position), np.asarray(fin_ref.position), atol=1e-12
+    )
