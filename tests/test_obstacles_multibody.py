@@ -133,3 +133,53 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt.latest_sim_frame(tmp_path / "sim") == 123
     st2 = ckpt.load_sim_state(tmp_path / "sim", 123)
     np.testing.assert_array_equal(np.asarray(st2.elastic_forces), 2.0)
+
+
+def test_obstacles_on_blocked_backend_match_gather():
+    from softbody_tpu.sim.blocked import build_blocked_scene
+
+    pts, out_num = inflatable_sphere(n_outer=48, radius=0.02, center=(0, 0.05, 0))
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 14), dtype="float64", dt=2e-6, collision=False,
+        initial_velocity=(0.0, -2.0, 0.0),
+    )
+    sph = obs.make(obs.sphere([0.0, -0.5, 0.0], 0.5295), stiffness=3e9, margin=1e-4)
+    scene_g = build_scene(pts, cfg, out_num=out_num, obstacles=sph)
+    x = jnp.zeros(len(pts), dtype=jnp.float64)
+    _, fin_g, _ = rollout(x, scene_g, cfg, n_steps=50)
+
+    cfg_b = cfg.replace(backend="blocked")
+    scene_b, sop = build_blocked_scene(pts, cfg_b, out_num=out_num, obstacles=sph)
+    xb = jnp.zeros(scene_b.rest_position.shape[0], dtype=jnp.float64)
+    _, fin_b, _ = rollout(xb, scene_b, cfg_b, n_steps=50)
+    np.testing.assert_allclose(
+        np.asarray(fin_b.position)[sop], np.asarray(fin_g.position), atol=1e-11
+    )
+
+
+def test_midepisode_checkpoint_resume(tmp_path):
+    """Mid-episode snapshot/resume reproduces the uninterrupted trajectory
+    (beyond-reference capability, SURVEY.md §5)."""
+    from softbody_tpu.core.types import ParticleState
+    from softbody_tpu.ops.elasticity import compute_ratio
+    from softbody_tpu.sim.rollout import initial_state, step
+    from softbody_tpu.utils import checkpoint as ckpt
+
+    pts, out_num = inflatable_sphere(n_outer=48, radius=0.05)
+    cfg = warp_parity().replace(h=suggest_h(pts, 14), dtype="float64", dt=2e-6)
+    scene = build_scene(pts, cfg, out_num=out_num)
+    ratio = compute_ratio(jnp.zeros(len(pts), jnp.float64), cfg)
+
+    st = initial_state(scene, ratio, cfg)
+    for _ in range(10):
+        st = step(st, ratio, scene, cfg)
+    ckpt.save_sim_state(tmp_path, st, frame=10)
+    for _ in range(10):
+        st = step(st, ratio, scene, cfg)
+
+    st2 = ckpt.load_sim_state(tmp_path, 10, dtype="float64")
+    for _ in range(10):
+        st2 = step(st2, ratio, scene, cfg)
+    np.testing.assert_allclose(
+        np.asarray(st2.position), np.asarray(st.position), atol=1e-15
+    )
