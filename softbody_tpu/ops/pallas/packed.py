@@ -208,20 +208,24 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
-    kernel = functools.partial(pk._forces_warp_kernel_packed, h=h,
-                               chunks=pk._WARP_CHUNKS)
-    return pl.pallas_call(
+    kernel = pk._batched(
+        functools.partial(pk._forces_warp_kernel_packed, h=h,
+                          chunks=pk._WARP_CHUNKS), 8)
+    args, t_pad = pk._pad_tiles(
+        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
+         sr_slab, vol_rows[:, :, None]], t)
+    out = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
             (slab, 32), (rows, 1),
         ]),
         out_specs=pk._tile_specs([(rows, 3)])[0],
-        out_shape=jax.ShapeDtypeStruct((t, rows, 3), f9_rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
         interpret=interpret,
-    )(restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
-      sr_slab, vol_rows[:, :, None])
+    )(*args)
+    return out[:t]
 
 
 def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows,

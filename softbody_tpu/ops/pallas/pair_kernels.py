@@ -37,6 +37,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _WARP_CHUNKS = 3
+# tiles per kernel invocation.  MEASURED: batching hurts (4 -> 1.17e6 vs
+# 1 -> 1.74e6 pps at 21k) — bigger blocks pipeline worse, so the ~5.6us/tile
+# cost is block VMEM traffic, not invocation overhead.  Keep 1; the knob and
+# machinery remain for revisiting alongside slab-size reductions.
+_TILE_BATCH = 1
+
+
+class _Sub:
+    """Ref adapter presenting batched block element i as leading index 0, so the
+    single-tile kernel bodies run unchanged inside a batched invocation."""
+
+    def __init__(self, ref, i):
+        self._ref = ref
+        self._i = i
+
+    @property
+    def shape(self):
+        return (1,) + self._ref.shape[1:]
+
+    def _tr(self, idx):
+        if isinstance(idx, tuple):
+            assert idx[0] == 0
+            return (self._i,) + idx[1:]
+        assert idx == 0
+        return self._i
+
+    def __getitem__(self, idx):
+        return self._ref[self._tr(idx)]
+
+    def __setitem__(self, idx, val):
+        self._ref[self._tr(idx)] = val
+
+
+def _batched(body, n_refs):
+    """Wrap a single-tile kernel body to loop over a _TILE_BATCH block."""
+
+    def kernel(*refs, **kw):
+        for i in range(_TILE_BATCH):
+            body(*[_Sub(r, i) for r in refs], **kw)
+
+    return kernel
+
+
+def _pad_tiles(arrs, t):
+    """Zero-pad per-tile arrays so t is a _TILE_BATCH multiple (zero rest
+    coordinates make every pair coefficient vanish -> inert tiles)."""
+    pad = (-t) % _TILE_BATCH
+    if pad == 0:
+        return arrs, t
+    out = []
+    for a in arrs:
+        padding = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, padding))
+    return out, t + pad
 
 
 def _interpret_default():
@@ -87,9 +141,10 @@ def _dot_rows(a, b):
 
 
 def _tile_specs(shapes):
-    """BlockSpec per operand: block = one tile along axis 0."""
+    """BlockSpec per operand: block = _TILE_BATCH tiles along axis 0."""
     return [
-        pl.BlockSpec((1,) + s, lambda t: (t,) + (0,) * len(s), memory_space=pltpu.VMEM)
+        pl.BlockSpec((_TILE_BATCH,) + s, lambda t: (t,) + (0,) * len(s),
+                     memory_space=pltpu.VMEM)
         for s in shapes
     ]
 
@@ -168,24 +223,26 @@ def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos
                       h, interpret):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
-    pw = pos_rows.shape[-1]   # 3, or 4 when packed-row gathered
+    pw = pos_rows.shape[-1]   # 3, or 16 when packed-row gathered
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_moments_kernel, h=h)
+    kernel = _batched(functools.partial(_moments_kernel, h=h), 8)
+    args, t_pad = _pad_tiles(
+        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
+         pos_rows, pos_slab], t)
     out = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (1, slab), (rows, pw), (slab, pw),
         ]),
         out_specs=_tile_specs([(rows, 9), (rows, 9)]),
         out_shape=[
-            jax.ShapeDtypeStruct((t, rows, 9), pos_rows.dtype),
-            jax.ShapeDtypeStruct((t, rows, 9), pos_rows.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 9), pos_rows.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 9), pos_rows.dtype),
         ],
         interpret=interpret,
-    )(restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
-      pos_rows, pos_slab)
-    return tuple(out)
+    )(*args)
+    return tuple(o[:t] for o in out)
 
 
 def _moments_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos_slab,
@@ -201,21 +258,23 @@ def _moments_vjp_bwd(h, interpret, res, cts):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_moments_bwd_kernel, h=h)
+    kernel = _batched(functools.partial(_moments_bwd_kernel, h=h), 8)
+    args, t_pad = _pad_tiles(
+        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :], da, dy], t)
     dpr, dps = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (1, slab), (rows, 9), (rows, 9),
         ]),
         out_specs=_tile_specs([(rows, 3), (slab, 3)]),
         out_shape=[
-            jax.ShapeDtypeStruct((t, rows, 3), da.dtype),
-            jax.ShapeDtypeStruct((t, slab, 3), da.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 3), da.dtype),
+            jax.ShapeDtypeStruct((t_pad, slab, 3), da.dtype),
         ],
         interpret=interpret,
-    )(restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :], da, dy)
-    return (None, None, None, None, dpr, dps)
+    )(*args)
+    return (None, None, None, None, dpr[:t], dps[:t])
 
 
 moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
@@ -292,18 +351,21 @@ def _forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
     slab = restT_slab.shape[2]
     gw = g_slab.shape[-1]     # 9, or 16 when packed-row gathered
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_kernel, h=h)
-    return pl.pallas_call(
+    kernel = _batched(functools.partial(_forces_kernel, h=h), 7)
+    args, t_pad = _pad_tiles(
+        [restT_rows, restT_slab, vol_slab[:, None, :], g_rows, g_slab,
+         vol_rows[:, :, None]], t)
+    out = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9), (slab, gw), (rows, 1),
         ]),
         out_specs=_tile_specs([(rows, 3)])[0],
-        out_shape=jax.ShapeDtypeStruct((t, rows, 3), g_rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), g_rows.dtype),
         interpret=interpret,
-    )(restT_rows, restT_slab, vol_slab[:, None, :], g_rows, g_slab,
-      vol_rows[:, :, None])
+    )(*args)
+    return out[:t]
 
 
 def _forces_vjp_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
@@ -318,21 +380,23 @@ def _forces_vjp_bwd(h, interpret, res, df):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_bwd_kernel, h=h)
+    kernel = _batched(functools.partial(_forces_bwd_kernel, h=h), 7)
+    args, t_pad = _pad_tiles(
+        [restT_rows, restT_slab, vol_slab[:, None, :], vol_rows[:, :, None], df], t)
     dgr, dgs = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 1), (rows, 3),
         ]),
         out_specs=_tile_specs([(rows, 9), (slab, 9)]),
         out_shape=[
-            jax.ShapeDtypeStruct((t, rows, 9), df.dtype),
-            jax.ShapeDtypeStruct((t, slab, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, slab, 9), df.dtype),
         ],
         interpret=interpret,
-    )(restT_rows, restT_slab, vol_slab[:, None, :], vol_rows[:, :, None], df)
-    return (None, None, None, dgr, dgs, None)
+    )(*args)
+    return (None, None, None, dgr[:t], dgs[:t], None)
 
 
 forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
@@ -465,19 +529,22 @@ def _forces_warp_fwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_warp_kernel, h=h, chunks=_WARP_CHUNKS)
-    return pl.pallas_call(
+    kernel = _batched(functools.partial(_forces_warp_kernel, h=h, chunks=_WARP_CHUNKS), 10)
+    args, t_pad = _pad_tiles(
+        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
+         s_slabT, r_slab, r_slabT, vol_rows[:, :, None]], t)
+    out = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
             (9, slab), (slab, 9), (9, slab), (rows, 1),
         ]),
         out_specs=_tile_specs([(rows, 3)])[0],
-        out_shape=jax.ShapeDtypeStruct((t, rows, 3), f9_rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
         interpret=interpret,
-    )(restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
-      s_slabT, r_slab, r_slabT, vol_rows[:, :, None])
+    )(*args)
+    return out[:t]
 
 
 def _forces_warp_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
@@ -493,26 +560,29 @@ def _forces_warp_vjp_bwd(h, interpret, res, df):
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = functools.partial(_forces_warp_bwd_kernel, h=h, chunks=_WARP_CHUNKS)
+    kernel = _batched(
+        functools.partial(_forces_warp_bwd_kernel, h=h, chunks=_WARP_CHUNKS), 12)
+    args, t_pad = _pad_tiles(
+        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, s_slabT, r_slabT,
+         vol_rows[:, :, None], df], t)
     df9, dm9, dsT, dr = pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9),
             (9, slab), (9, slab), (rows, 1), (rows, 3),
         ]),
         out_specs=_tile_specs([(rows, 9), (rows, 9), (9, slab), (slab, 9)]),
         out_shape=[
-            jax.ShapeDtypeStruct((t, rows, 9), df.dtype),
-            jax.ShapeDtypeStruct((t, rows, 9), df.dtype),
-            jax.ShapeDtypeStruct((t, 9, slab), df.dtype),
-            jax.ShapeDtypeStruct((t, slab, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, 9, slab), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, slab, 9), df.dtype),
         ],
         interpret=interpret,
-    )(restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, s_slabT, r_slabT,
-      vol_rows[:, :, None], df)
+    )(*args)
     zero_rT = jnp.zeros_like(r_slabT)
-    return (None, None, None, df9, dm9, dsT, dr, zero_rT, None)
+    return (None, None, None, df9[:t], dm9[:t], dsT[:t], dr[:t], zero_rT, None)
 
 
 forces_warp_pallas.defvjp(_forces_warp_vjp_fwd, _forces_warp_vjp_bwd)
