@@ -1,4 +1,8 @@
-"""DMA-fetching variants of the pair kernels.
+"""DMA-fetching variants of the pair kernels (EXPERIMENTAL, unused).
+
+Superseded by ops/pallas/packed.py (packed-row gathers measured faster than
+per-run DMA at current run counts); kept as the starting point for the
+double-buffered fetch design in PERF_NOTES.md.
 
 XLA's gather costs ~3.5ns per ROW on TPU regardless of slice shape, which makes
 the per-step slab gathers (tiles x 9 runs x run_len rows) the dominant step

@@ -18,8 +18,7 @@ from ..config import SimConfig
 from ..core.types import Materials, Scene
 from ..ops import mat3
 from ..ops.blocked import (
-    Blocked, far_grid, forces_xla, gather_rows, gather_slab, gather_slabT,
-    moments_xla,
+    Blocked, far_grid, forces_xla, gather_rows, gather_slab, moments_xla,
 )
 from ..topology.blocks import build_slot_layout
 from .scene import lame_parameters
@@ -286,8 +285,3 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f.reshape(m, 3))
 
-
-def _slot9T(X, blk: Blocked, m, dtype):
-    """(3,3,m) mat3 -> (9, n_slots) transposed slot array (zero-padded tail)."""
-    out = jnp.zeros((9, blk.n_slots), dtype=dtype)
-    return out.at[:, :m].set(X.reshape(9, m))
