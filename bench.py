@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--neighbors", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
-    ap.add_argument("--layout", choices=["varcol", "cells"], default="varcol")
+    ap.add_argument("--layout", choices=["sparse", "varcol", "cells"], default="sparse")
     ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",
@@ -72,11 +72,22 @@ def main():
         pair_def_grad="i" if args.mode == "warp" else "j",
     )
     t0 = time.perf_counter()
-    if args.backend in ("pallas", "blocked"):
+    if args.backend == "pallas" and args.layout == "sparse":
+        from softbody_tpu.sim.sparse import build_sparse_scene
+
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows)
+        blk = scene.blocked
+        log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
+            f"buckets={[(len(b.tile_ids), b.slab_len) for b in blk.buckets]} "
+            f"build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}")
+        n_state = blk.n_slots
+    elif args.backend in ("pallas", "blocked"):
         from softbody_tpu.sim.blocked import build_blocked_scene
 
-        scene, sop = build_blocked_scene(pts, cfg, out_num=out_num, tz=args.tz,
-                                         layout=args.layout, rows=args.rows)
+        scene, sop = build_blocked_scene(
+            pts, cfg, out_num=out_num, tz=args.tz,
+            layout="varcol" if args.layout == "sparse" else args.layout,
+            rows=args.rows)
         blk = scene.blocked
         log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
             f"slab={blk.slab_len} build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}")

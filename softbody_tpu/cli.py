@@ -92,7 +92,13 @@ def main(argv=None):
         # short episodes (tests/smoke runs): sample every frame
         cfg = cfg.replace(target_frames=cfg.frames)
 
-    if args.backend in ("pallas", "blocked"):
+    if args.backend == "pallas":
+        # flagship path: sparse candidate-group layout (topology/sparse.py)
+        from .sim.sparse import build_sparse_scene
+
+        cfg = cfg.replace(backend="pallas")
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+    elif args.backend == "blocked":
         from .sim.blocked import build_blocked_scene
 
         cfg = cfg.replace(backend=args.backend)
@@ -139,25 +145,41 @@ def main(argv=None):
             return
         if args.optimizer == "adam":
             x_fin, losses = driver.optimize_adam(scene, cfg, to_state(x0), tp, tv)
+            opt_dir.mkdir(parents=True, exist_ok=True)
             np.save(opt_dir / "x.npy", np.asarray(x_fin))
+            x_render = np.asarray(x_fin)
             print("adam final loss:", losses[-1])
         else:
             result, history = driver.optimize_lbfgs(
                 scene, cfg, to_state(x0), tp, tv, opt_dir=opt_dir,
                 x_target=to_state(x0), maxiter=args.maxiter,
             )
+            x_render = np.asarray(result.x)
             print("L-BFGS done:", result.message)
 
-    if args.render and body["faces"] is not None:
+    if args.render:
+        # The reference renders the deformed body of the CURRENT iterate
+        # every 50th frame (sim.py:385-395): after optimization we roll out
+        # the OPTIMIZED x (x_render is already in state space for adam/lbfgs);
+        # --init/--set_target render the initial x.  Procedural bodies without
+        # a mesh fall back to the sphere-cloud adapter (sim_taichi.py:300-315).
         from .render.adapters import render_episode
         from .sim.rollout import rollout
         import jax.numpy as jnp
 
-        _, _, rec = rollout(jnp.asarray(to_state(x0), cfg.dtype), scene, cfg,
-                            record_every=50)
+        x_state = (locals().get("x_render")
+                   if "x_render" in locals() else to_state(x0))
+        if x_state is None or args.set_target or args.init:
+            x_state = to_state(x0)
+        every = 50 if cfg.frames % 50 == 0 else 1
+        _, _, rec = rollout(jnp.asarray(x_state, cfg.dtype), scene, cfg,
+                            record_every=every)
+        frames = np.asarray(rec[0])
+        if sop is not None:
+            frames = frames[:, np.asarray(sop)]  # slot space -> particle order
         sub = "" if args.set_target else ("_init" if args.init else "_opt")
-        render_episode(np.asarray(rec[0]), out_num, body["faces"], body["uv"],
-                       None, out / "render" / f"{args.name}{sub}")
+        render_episode(frames, out_num, body["faces"], body["uv"],
+                       None, out / "render" / f"{args.name}{sub}", every=1)
 
 
 if __name__ == "__main__":

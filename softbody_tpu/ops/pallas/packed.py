@@ -185,22 +185,24 @@ forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
 
 
 # --------------------------------------------------------------------- forces (warp)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def forces_warp_packed(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                       sr_slots, vol_rows, gidx4, h, interpret=False):
+                       sr_slots, vol_rows, gidx4, h, interpret=False,
+                       chunks=None):
     """Warp-mode forces; sr_slots: (n_slots, 18) = [S_9 | R_9] per slot.
 
     The fused slab arrives as (t, slab, 32); R is consumed as matmul-RHS
     columns 9..17; S is transposed per chunk inside the kernel (small (L, 9)
-    -> (9, L) relayout).
+    -> (9, L) relayout).  ``chunks`` bounds live VMEM for long slabs (must
+    divide the slab length; default pk._WARP_CHUNKS for the dense layout).
     """
     return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
                                    m9_rows, sr_slots, vol_rows, gidx4, h,
-                                   interpret)
+                                   interpret, chunks)
 
 
 def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                            sr_slots, vol_rows, gidx4, h, interpret):
+                            sr_slots, vol_rows, gidx4, h, interpret, chunks=None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -210,7 +212,7 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
     sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
     kernel = pk._batched(
         functools.partial(pk._forces_warp_kernel_packed, h=h,
-                          chunks=pk._WARP_CHUNKS), 8)
+                          chunks=chunks or pk._WARP_CHUNKS), 8)
     args, t_pad = pk._pad_tiles(
         [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
          sr_slab, vol_rows[:, :, None]], t)
@@ -229,14 +231,16 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
 
 
 def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                m9_rows, sr_slots, vol_rows, gidx4, h, interpret):
+                                m9_rows, sr_slots, vol_rows, gidx4, h, interpret,
+                                chunks=None):
     out = _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                  m9_rows, sr_slots, vol_rows, gidx4, h, interpret)
+                                  m9_rows, sr_slots, vol_rows, gidx4, h,
+                                  interpret, chunks)
     return out, (restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows,
                  gidx4)
 
 
-def _forces_warp_packed_vjp_bwd(h, interpret, res, df):
+def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
     restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows, gidx4 = res
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
@@ -251,7 +255,8 @@ def _forces_warp_packed_vjp_bwd(h, interpret, res, df):
         s_slabT = jnp.swapaxes(sr_slab[..., :9], 1, 2)
         r_slabT = jnp.swapaxes(sr_slab[..., 9:18], 1, 2)
         df9_c, dm9_c, dsT_c, dr_c = pk._forces_warp_vjp_bwd(
-            h, interpret, (rr, rs, vs, f9_c, s_slabT, r_slabT, vr), df_c
+            h, interpret, (rr, rs, vs, f9_c, s_slabT, r_slabT, vr), df_c,
+            chunks=chunks,
         )[3:7]
         ds_c = jnp.swapaxes(dsT_c, 1, 2)                  # (chunk, slab, 9)
         dsr_c = jnp.concatenate([ds_c, dr_c], axis=-1)    # (chunk, slab, 18)

@@ -555,13 +555,14 @@ def _forces_warp_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
     return out, (restT_rows, restT_slab, vol_slab, f9_rows, s_slabT, r_slabT, vol_rows)
 
 
-def _forces_warp_vjp_bwd(h, interpret, res, df):
+def _forces_warp_vjp_bwd(h, interpret, res, df, chunks=None):
     restT_rows, restT_slab, vol_slab, f9_rows, s_slabT, r_slabT, vol_rows = res
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
     kernel = _batched(
-        functools.partial(_forces_warp_bwd_kernel, h=h, chunks=_WARP_CHUNKS), 12)
+        functools.partial(_forces_warp_bwd_kernel, h=h,
+                          chunks=chunks or _WARP_CHUNKS), 12)
     args, t_pad = _pad_tiles(
         [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, s_slabT, r_slabT,
          vol_rows[:, :, None], df], t)

@@ -63,7 +63,10 @@ def sphere_cloud_scene(positions, image_name, radius=0.007,
 def render_episode(frames_positions, out_num, faces, uv, texture_image,
                    render_folder, every=50, use_gpu=None, fps=25):
     """Render every Nth frame + encode mp4 (main()'s render path,
-    sim.py:463-473).  Returns the list of written scene/image names."""
+    sim.py:463-473).  Returns the list of written scene/image names.
+
+    Bodies without a surface mesh (``faces is None``, e.g. procedural point
+    clouds) fall back to the sphere-cloud adapter (sim_taichi.py:300-315)."""
     from .video import export_mp4
 
     folder = Path(render_folder)
@@ -71,10 +74,15 @@ def render_episode(frames_positions, out_num, faces, uv, texture_image,
     names = []
     for f in range(0, len(frames_positions), every):
         name = str(folder / f"sim_{f:04d}.png")
-        scene = mesh_frame_scene(
-            frames_positions[f], out_num, faces, uv, texture_image, name,
-            workdir=folder / ".pbrt",
-        )
+        if faces is None:
+            scene = sphere_cloud_scene(
+                frames_positions[f][:out_num], name, workdir=folder / ".pbrt",
+            )
+        else:
+            scene = mesh_frame_scene(
+                frames_positions[f], out_num, faces, uv, texture_image, name,
+                workdir=folder / ".pbrt",
+            )
         scene.render(use_gpu=use_gpu)
         names.append(name)
     export_mp4(folder, folder / "sim.mp4", fps, "sim_", ".png")

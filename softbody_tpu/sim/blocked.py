@@ -241,7 +241,11 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     """
     from ..ops.pallas.packed import forces_packed, forces_warp_packed, moments_packed
     from ..ops.pallas.pair_kernels import _interpret_default
+    from .sparse import SparseBlocked, elastic_forces_sparse
 
+    if isinstance(scene.blocked, SparseBlocked):
+        return elastic_forces_sparse(pos_slots, ratio_slots, mats, scene, cfg,
+                                     interpret=interpret)
     interpret = _interpret_default() if interpret is None else interpret
     blk: Blocked = scene.blocked
     t, rows = blk.n_tiles, blk.rows

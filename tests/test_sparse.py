@@ -1,0 +1,133 @@
+"""Sparse candidate-group layout (topology/sparse.py, sim/sparse.py).
+
+Parity oracle: the dense blocked XLA backend (ops/blocked.py), itself validated
+against the O(N^2) f64 oracle in test_blocked.py.  All runs f64 on CPU with
+interpret-mode Pallas.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from softbody_tpu import warp_parity, taichi_parity
+from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+from softbody_tpu.ops.elasticity import compute_ratio
+from softbody_tpu.sim.blocked import build_blocked_scene, elastic_forces_blocked
+from softbody_tpu.sim.rollout import rollout
+from softbody_tpu.sim.sparse import build_sparse_scene, elastic_forces_sparse
+from softbody_tpu.topology.sparse import (
+    _bucket_boundaries, build_sparse_layout, validate_sparse_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def body():
+    pts, out_num = inflatable_sphere(n_outer=200)
+    return pts, out_num, suggest_h(pts, 32)
+
+
+def test_layout_coverage_and_waste(body):
+    pts, _, h = body
+    lay = build_sparse_layout(pts, 2 * h, rows=32)
+    stats = validate_sparse_layout(lay, pts, 2 * h)  # raises on a missed pair
+    assert stats["waste"] < 40.0  # small bodies pad more; 100k measures ~9x
+    assert lay.stats["n_buckets"] <= 8
+    # tiles partition the slot prefix; every particle has a slot
+    assert lay.n_slots % 8 == 0
+    assert (lay.particle_of_slot[lay.slot_of_particle] == np.arange(len(pts))).all()
+
+
+def test_bucket_dp_optimal_small():
+    sizes = np.array([8, 16, 40, 48])
+    counts = np.array([10, 10, 10, 10])
+    caps = _bucket_boundaries(sizes, counts, 2)
+    # optimal 2-bucket split: [8,16] capped 16 and [40,48] capped 48
+    assert caps == [16, 48]
+
+
+@pytest.mark.parametrize("mode", ["i", "j"])
+def test_forces_match_blocked(body, mode):
+    pts, out_num, h = body
+    cfg = warp_parity().replace(h=h, dtype="float64", dt=1e-6,
+                                pair_def_grad=mode, backend="blocked")
+    cfg_p = cfg.replace(backend="pallas")
+    sc_b, sop_b = build_blocked_scene(pts, cfg, out_num=out_num)
+    sc_s, sop_s = build_sparse_scene(pts, cfg_p, out_num=out_num)
+    rng = np.random.default_rng(0)
+    dp = rng.normal(scale=1e-3 * h, size=(len(pts), 3))
+    pos_b = np.asarray(sc_b.rest_position).copy()
+    pos_b[np.asarray(sop_b)] += dp
+    pos_s = np.asarray(sc_s.rest_position).copy()
+    pos_s[np.asarray(sop_s)] += dp
+    xb = jnp.zeros(sc_b.rest_position.shape[0], cfg.dtype)
+    xs = jnp.zeros(sc_s.rest_position.shape[0], cfg.dtype)
+    fb = elastic_forces_blocked(jnp.asarray(pos_b), compute_ratio(xb, cfg),
+                                sc_b.materials, sc_b, cfg)
+    fs = elastic_forces_sparse(jnp.asarray(pos_s), compute_ratio(xs, cfg_p),
+                               sc_s.materials, sc_s, cfg_p)
+    fb = np.asarray(fb)[np.asarray(sop_b)]
+    fs = np.asarray(fs)[np.asarray(sop_s)]
+    err = np.abs(fb - fs).max() / np.abs(fb).max()
+    assert err < 1e-11, err
+
+
+@pytest.mark.parametrize("mode", ["i", "j"])
+def test_force_vjp_matches_blocked(body, mode):
+    """Backward parity: VJP of the elastic forces wrt (positions, ratio-field
+    x) against the autodiff'd dense blocked path, with a random cotangent."""
+    pts, out_num, h = body
+    cfg = warp_parity().replace(h=h, dtype="float64", dt=1e-6,
+                                pair_def_grad=mode, backend="blocked")
+    cfg_p = cfg.replace(backend="pallas")
+    sc_b, sop_b = build_blocked_scene(pts, cfg, out_num=out_num)
+    sc_s, sop_s = build_sparse_scene(pts, cfg_p, out_num=out_num)
+    sop_b = np.asarray(sop_b)
+    sop_s = np.asarray(sop_s)
+    rng = np.random.default_rng(1)
+    dp = rng.normal(scale=1e-3 * h, size=(len(pts), 3))
+    x_p = rng.normal(scale=0.5, size=len(pts))
+    ct = rng.normal(size=(len(pts), 3))
+
+    def prep(scene, sop):
+        ns = scene.rest_position.shape[0]
+        pos = np.asarray(scene.rest_position).copy()
+        pos[sop] += dp
+        x = np.zeros(ns)
+        x[sop] = x_p
+        c = np.zeros((ns, 3))
+        c[sop] = ct
+        return jnp.asarray(pos), jnp.asarray(x), jnp.asarray(c)
+
+    def vjp_of(fn, scene, sop, cfg_k):
+        pos, x, c = prep(scene, sop)
+
+        def f(p, xv):
+            return fn(p, compute_ratio(xv, cfg_k), scene.materials, scene, cfg_k)
+
+        out, vjp = jax.vjp(f, pos, x)
+        dpos, dx = vjp(c)
+        return np.asarray(dpos)[sop], np.asarray(dx)[sop]
+
+    dpos_b, dx_b = vjp_of(elastic_forces_blocked, sc_b, sop_b, cfg)
+    dpos_s, dx_s = vjp_of(elastic_forces_sparse, sc_s, sop_s, cfg_p)
+    ep = np.abs(dpos_b - dpos_s).max() / np.abs(dpos_b).max()
+    ex = np.abs(dx_b - dx_s).max() / max(np.abs(dx_b).max(), 1e-30)
+    assert ep < 1e-11, ep
+    assert ex < 1e-11, ex
+
+
+def test_taichi_preset_matches(body):
+    pts, out_num, h = body
+    cfg = taichi_parity().replace(h=h, dtype="float64", dt=1e-6,
+                                  backend="blocked")
+    cfg_p = cfg.replace(backend="pallas")
+    sc_b, sop_b = build_blocked_scene(pts, cfg, out_num=out_num)
+    sc_s, sop_s = build_sparse_scene(pts, cfg_p, out_num=out_num)
+    xb = jnp.zeros(sc_b.rest_position.shape[0], cfg.dtype)
+    xs = jnp.zeros(sc_s.rest_position.shape[0], cfg.dtype)
+    _, fin_b, _ = rollout(xb, sc_b, cfg, n_steps=2)
+    _, fin_s, _ = rollout(xs, sc_s, cfg_p, n_steps=2)
+    pb = np.asarray(fin_b.position)[np.asarray(sop_b)]
+    ps = np.asarray(fin_s.position)[np.asarray(sop_s)]
+    assert np.abs(pb - ps).max() < 1e-12
