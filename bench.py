@@ -113,8 +113,9 @@ def main():
 
         def execute():
             loss, grad = run(x, scene)
-            jax.block_until_ready(grad)
-            return loss
+            # force a real D2H transfer: on the axon tunnel block_until_ready
+            # alone can return before execution completes (async stream)
+            return float(np.asarray(grad[0])) + float(loss)
         metric_name = "particle_steps_per_sec_fwdbwd"
     else:
 
@@ -125,8 +126,8 @@ def main():
 
         def execute():
             final = run(x, scene)
-            jax.block_until_ready(final.position)
-            return final
+            # force a real D2H transfer (see grad branch note)
+            return float(np.asarray(final.position[0, 0]))
         metric_name = "particle_steps_per_sec"
 
     t0 = time.perf_counter()

@@ -157,56 +157,18 @@ def build_sparse_scene(
             slab_len=int(sl.shape[1]),
         )
 
-    # density rho_i = sum_j m_j w_ij and rest correction Y(rest) — host-side
-    # vectorized numpy (f64) over the candidate lists, chunked over tiles.
-    # Pure numpy keeps scene builds off the device (no per-bucket compiles).
+    # density rho_i = sum_j m_j w_ij and rest correction Y(rest): vectorized
+    # over the TRUE pair list (C++ CSR hash grid), O(pairs) with no padding
+    # work — the candidate lists would cost ~9x more host flops.
+    from ..topology.neighbors import rest_density_and_corr
+
+    rho_p, vol_p, corr_p = rest_density_and_corr(rest, np.full(n, cfg.mass), cfg)
     rho = np.zeros(ns)
+    rho[sop] = rho_p
+    volume = np.zeros(ns)
+    volume[sop] = vol_p
     rest_corr9 = np.zeros((m, 9))
-    h = float(cfg.h)
-    c4 = 0.25 / (np.pi * h**3)
-
-    def _pair_np(rr, rs):
-        """Branchless cubic spline (identical math to ops.blocked.pair_w_gfac)."""
-        dx = rr[:, :, None, :] - rs[:, None, :, :]       # (t, rows, S, 3)
-        r2 = np.einsum("trsa,trsa->trs", dx, dx)
-        q = np.sqrt(r2) / h
-        tq = np.maximum(2.0 - q, 0.0)
-        oq = np.maximum(1.0 - q, 0.0)
-        w = np.where(r2 > 0.0, c4 * (tq**3 - 4.0 * oq**3), 0.0)  # no self-term
-        qs = np.where(r2 > 0.0, q, 1.0)
-        gfac = np.where(r2 > 0.0, c4 * (12.0 * oq**2 - 3.0 * tq**2) / (qs * h * h), 0.0)
-        return dx, w, gfac
-
-    def _sweep(fn):
-        for b in layout.buckets:
-            sl = slab_slots(b.group_ids)
-            t_b = len(b.tile_ids)
-            ch = max(1, min(t_b, (1 << 23) // max(rows * sl.shape[1], 1)))
-            for s0 in range(0, t_b, ch):
-                se = slice(s0, min(s0 + ch, t_b))
-                tid = b.tile_ids[se].astype(np.int64)
-                rr = rest_slots[tid[:, None] * rows + np.arange(rows)[None, :]]
-                fn(tid, sl[se], rr, rest_slots[sl[se]])
-
-    def _rho_pass(tid, sl, rr, rs):
-        _, w, _ = _pair_np(rr, rs)
-        idx = (tid[:, None] * rows + np.arange(rows)[None, :]).reshape(-1)
-        rho[idx] = np.einsum("trs,ts->tr", w, mass[sl]).reshape(-1)
-
-    _sweep(_rho_pass)
-    if cfg.self_density:
-        rho = rho + mass * (1.0 / (np.pi * cfg.h**3))
-    volume = np.where(real & (rho > 0), mass / np.where(rho > 0, rho, 1.0), 0.0)
-
-    def _y_pass(tid, sl, rr, rs):
-        dx, _, gfac = _pair_np(rr, rs)
-        gv = gfac * volume[sl][:, None, :]
-        dp = rs[:, None, :, :] - rr[:, :, None, :]
-        y = np.einsum("trs,trsa,trsb->trab", gv, dp, dx)
-        idx = (tid[:, None] * rows + np.arange(rows)[None, :]).reshape(-1)
-        rest_corr9[idx] = y.reshape(-1, 9)
-
-    _sweep(_y_pass)
+    rest_corr9[sop] = corr_p.reshape(n, 9)  # sop < m: every particle slot is in a tile
     rest_corr = mat3.from_trailing(
         jnp.asarray(rest_corr9.reshape(m, 3, 3), dtype)
     )

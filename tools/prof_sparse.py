@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Decompose the sparse-pallas step cost on the real TPU.
+
+Measurement discipline (PERF_NOTES.md): force sync mode with one tiny D2H,
+then amortize each piece inside a single dispatch with a lax.scan of >= 30
+iterations.  Pieces are composed as position -> position maps so the scan
+carry shape stays fixed.
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--rows", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--mode", choices=["warp", "taichi"], default="warp")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from softbody_tpu import warp_parity
+    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.ops import mat3
+    from softbody_tpu.ops.elasticity import compute_ratio
+    from softbody_tpu.ops.pallas.packed import (
+        forces_warp_packed, moments_packed, pack, gather_packed,
+    )
+    from softbody_tpu.sim.blocked import _mid_section
+    from softbody_tpu.sim.rollout import rollout, step
+    from softbody_tpu.sim.sparse import build_sparse_scene, elastic_forces_sparse, _chunks_for
+    from softbody_tpu.core.types import ParticleState
+
+    probe_n = 1000
+    probe, _ = inflatable_sphere(n_outer=probe_n, radius=0.05)
+    a = (len(probe) - probe_n) / probe_n**1.5
+    n_outer = probe_n
+    for _ in range(40):
+        n_outer = max(((args.particles - n_outer) / a) ** (2 / 3), 8.0)
+    pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
+    n = len(pts)
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 32), dtype="float32", dt=1e-6, target_frames=2,
+        backend="pallas", pair_def_grad="i" if args.mode == "warp" else "j",
+    )
+    t0 = time.perf_counter()
+    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows)
+    sb = scene.blocked
+    print(f"N={n} slots={sb.n_slots} tiles={sb.n_tiles} "
+          f"buckets={[(len(b.tile_ids), b.slab_len) for b in sb.buckets]} "
+          f"build={time.perf_counter()-t0:.1f}s")
+    pairs = sum(len(b.tile_ids) * b.slab_len * sb.rows for b in sb.buckets)
+    print(f"pairs/eval={pairs:.3e} ({pairs/n:.0f}/particle)")
+
+    t, rows = sb.n_tiles, sb.rows
+    m = t * rows
+    dtype = jnp.float32
+    x = jnp.zeros(sb.n_slots, dtype)
+    ratio = compute_ratio(x, cfg)
+    mats = scene.materials
+    pos0 = scene.rest_position
+
+    # sync mode
+    np.asarray(jnp.zeros(()))
+
+    def timed(name, fn):
+        @jax.jit
+        def run(p):
+            def body(c, _):
+                return fn(c), None
+            out, _ = jax.lax.scan(body, p, None, length=args.iters)
+            return out
+        r = run(pos0)
+        jax.block_until_ready(r)
+        best = np.inf
+        for _ in range(3):
+            tt = time.perf_counter()
+            r = run(pos0)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - tt)
+        per = best / args.iters * 1e3
+        print(f"{name:28s} {per:8.3f} ms/iter")
+        return per
+
+    # --- full elastic eval
+    def full_eval(p):
+        f = elastic_forces_sparse(p, ratio, mats, scene, cfg)
+        return p + 1e-12 * f
+
+    # --- K1 only (moments per bucket, combined)
+    def k1_only(p):
+        pos_rows = p[:m].reshape(t, rows, 3)
+        parts = []
+        for b in sb.buckets:
+            A9b, Y9b = moments_packed(
+                b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+                jnp.take(pos_rows, b.tile_ids, axis=0), p, b.gidx8,
+                cfg.h, False,
+            )
+            parts.append(A9b + Y9b)
+        s = jnp.concatenate(parts, axis=0)[sb.gather_back]
+        return p.at[:m].add(1e-12 * s[..., :3].reshape(m, 3))
+
+    # --- K1 + mid-section
+    def k1_mid(p):
+        pos_rows = p[:m].reshape(t, rows, 3)
+        a_parts, y_parts = [], []
+        for b in sb.buckets:
+            A9b, Y9b = moments_packed(
+                b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+                jnp.take(pos_rows, b.tile_ids, axis=0), p, b.gidx8,
+                cfg.h, False,
+            )
+            a_parts.append(A9b)
+            y_parts.append(Y9b)
+        A9 = jnp.concatenate(a_parts, axis=0)[sb.gather_back]
+        Y9 = jnp.concatenate(y_parts, axis=0)[sb.gather_back]
+        A = mat3.from_trailing(A9.reshape(m, 3, 3))
+        Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
+        R, F, S, M, G, vol_m = _mid_section(A, Y, ratio, mats, scene, cfg, m)
+        return p.at[:m].add(1e-12 * mat3.to_trailing(M).reshape(m, 9)[:, :3])
+
+    # --- pos slab gather only (the packed take per bucket)
+    def gather_only(p):
+        packed = pack(p, 3, 16, 8)
+        acc = 0.0
+        for b in sb.buckets:
+            g = gather_packed(packed, b.gidx8, b.slab_len, 16)
+            acc = acc + jnp.sum(g[:, ::64, 0])
+        return p + 1e-18 * acc
+
+    # --- integrator shell without elastic forces
+    def integ_only(p):
+        vel = jnp.zeros_like(p)
+        fz = jnp.zeros_like(p)
+        st = ParticleState(p, vel, fz)
+        cfg_g = cfg.replace(backend="gather")
+        # emulate: total_force + 2x position update without _elastic
+        from softbody_tpu.sim.rollout import total_force
+        f1 = total_force(p, vel, fz, mats, cfg, scene)
+        pn = p + (cfg.dt * vel + 0.5 * cfg.dt**2 * f1 / mats.mass[:, None]) * mats.free
+        return pn
+
+    timed("integrator-shell", integ_only)
+    timed("pos-slab-gather", gather_only)
+    timed("K1 moments", k1_only)
+    timed("K1+mid", k1_mid)
+    e = timed("full elastic eval", full_eval)
+
+    # --- full step (2 evals, trapezoidal)
+    def full_step(p):
+        st = ParticleState(p, jnp.zeros_like(p), jnp.zeros_like(p))
+        st2 = step(st, ratio, scene, cfg)
+        return st2.position
+
+    s = timed("full step", full_step)
+    print(f"-> {n / (s/1e3):.3e} particle-steps/s at N={n}")
+
+
+if __name__ == "__main__":
+    main()
