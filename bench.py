@@ -78,7 +78,7 @@ def main():
         scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows)
         blk = scene.blocked
         log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
-            f"buckets={[(len(b.tile_ids), b.slab_len) for b in blk.buckets]} "
+            f"buckets={[(b.n_tiles, b.slab_len) for b in blk.buckets]} "
             f"build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}")
         n_state = blk.n_slots
     elif args.backend in ("pallas", "blocked"):

@@ -189,12 +189,14 @@ forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
 def forces_warp_packed(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
                        sr_slots, vol_rows, gidx4, h, interpret=False,
                        chunks=None):
-    """Warp-mode forces; sr_slots: (n_slots, 18) = [S_9 | R_9] per slot.
+    """Warp-mode forces; sr_slots: (n_slots, 18) = [S_9 | R_9^T] per slot
+    (R transposed: column 3c+a holds R[a, c] — lets the in-kernel matmul
+    extraction use contiguous slices).
 
-    The fused slab arrives as (t, slab, 32); R is consumed as matmul-RHS
-    columns 9..17; S is transposed per chunk inside the kernel (small (L, 9)
-    -> (9, L) relayout).  ``chunks`` bounds live VMEM for long slabs (must
-    divide the slab length; default pk._WARP_CHUNKS for the dense layout).
+    The gathered slab ships to the kernel twice: in natural (slab, 32) row
+    layout (matmul RHS) and transposed (32, slab) by XLA (S/R lane vectors) —
+    an in-kernel (L, 9) -> (9, L) Mosaic relayout measured as expensive as all
+    the pair math.  ``chunks`` bounds live VMEM for long slabs.
     """
     return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
                                    m9_rows, sr_slots, vol_rows, gidx4, h,
@@ -205,23 +207,23 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
                             sr_slots, vol_rows, gidx4, h, interpret, chunks=None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
+    srT_slab = jnp.swapaxes(sr_slab, 1, 2)              # (t, 32, slab), XLA-side
     kernel = pk._batched(
-        functools.partial(pk._forces_warp_kernel_packed, h=h,
-                          chunks=chunks or pk._WARP_CHUNKS), 8)
+        functools.partial(pk._forces_warp_kernel_v2, h=h,
+                          chunks=chunks or pk._WARP_CHUNKS), 9)
     args, t_pad = pk._pad_tiles(
         [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
-         sr_slab, vol_rows[:, :, None]], t)
+         sr_slab, srT_slab, vol_rows[:, :, None]], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
-            (slab, 32), (rows, 1),
+            (slab, 32), (32, slab), (rows, 1),
         ]),
         out_specs=pk._tile_specs([(rows, 3)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
@@ -249,15 +251,14 @@ def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
 
     def body(args):
         rr, rs, vs, f9_c, vr, gi, df_c = args
-        # backward needs transposed S/R lane slabs: regather (packed, chunked)
-        # and transpose — backward pays a relayout, forward stays bandwidth-fast
-        sr_slab = gather_packed(sr_packed, gi, slab, 32)
-        s_slabT = jnp.swapaxes(sr_slab[..., :9], 1, 2)
-        r_slabT = jnp.swapaxes(sr_slab[..., 9:18], 1, 2)
-        df9_c, dm9_c, dsT_c, dr_c = pk._forces_warp_vjp_bwd(
-            h, interpret, (rr, rs, vs, f9_c, s_slabT, r_slabT, vr), df_c,
-            chunks=chunks,
-        )[3:7]
+        # the backward kernel needs the transposed slab: regather (packed,
+        # chunked) + XLA transpose — backward pays a relayout, forward stays
+        # bandwidth-fast
+        srT = jnp.swapaxes(gather_packed(sr_packed, gi, slab, 32), 1, 2)
+        df9_c, dm9_c, dsT_c, dr_c = pk._forces_warp_bwd_impl(
+            rr, rs, vs, f9_c, srT, vr, df_c, h, interpret,
+            chunks or pk._WARP_CHUNKS,
+        )
         ds_c = jnp.swapaxes(dsT_c, 1, 2)                  # (chunk, slab, 9)
         dsr_c = jnp.concatenate([ds_c, dr_c], axis=-1)    # (chunk, slab, 18)
         return scatter_packed_add(dsr_c, gi, n_slots, 18, 32, 4), (df9_c, dm9_c)

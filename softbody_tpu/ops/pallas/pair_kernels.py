@@ -126,6 +126,24 @@ def _pair_coeffs(restT_rows, restT_slab, h):
     return dx, w, gfac
 
 
+def _pair_coeffs_g(restT_rows, restT_slab, h):
+    """Like :func:`_pair_coeffs` but gradient factor only (no W) — the force
+    kernels never use W, and dropping it saves ~6 VPU ops per pair."""
+    dx = [restT_rows[b][:, None] - restT_slab[b][None, :] for b in range(3)]
+    r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+    r = jnp.sqrt(r2)
+    dtype = r2.dtype
+    h = jnp.asarray(h, dtype)
+    q = r / h
+    c4 = 0.25 / (jnp.pi * h**3)
+    tq = jnp.maximum(2.0 - q, 0.0)
+    oq = jnp.maximum(1.0 - q, 0.0)
+    q_safe = jnp.where(r2 > 0.0, q, 1.0)
+    gfac = c4 * (12.0 * oq * oq - 3.0 * tq * tq) / (q_safe * h * h)
+    gfac = jnp.where(r2 > 0.0, gfac, 0.0)
+    return dx, gfac
+
+
 def _dot(a, b):
     """(m, S) @ (S, n)."""
     return jax.lax.dot_general(
@@ -173,14 +191,15 @@ def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
     dots = _dot(lhs, pos_slab)                       # (6 rows, 3)
     rowsum = jnp.sum(lhs, axis=1, keepdims=True)     # (6 rows, 1)
     corr = dots - jnp.concatenate([pos_rows] * 6, axis=0) * rowsum
-    # A[r, 3a+b] = corr[b*rows:(b+1)*rows, a]; Y likewise from the D half
+    # TRANSPOSED trailing layout: out[r, 3b+a] = corr[b*rows + r, a].  Emitting
+    # [3b+a] keeps each b-block a CONTIGUOUS (rows, 3) slice (the [3a+b] order
+    # needs 9 strided column stacks — measured expensive in-kernel); consumers
+    # relabel with the free lane-packed mat3.transpose3.
     a_ref[0] = jnp.concatenate(
-        [jnp.stack([corr[b * rows:(b + 1) * rows, a] for b in range(3)], axis=1)
-         for a in range(3)], axis=1,
+        [corr[b * rows:(b + 1) * rows, :3] for b in range(3)], axis=1,
     )
     y_ref[0] = jnp.concatenate(
-        [jnp.stack([corr[(3 + b) * rows:(4 + b) * rows, a] for b in range(3)], axis=1)
-         for a in range(3)], axis=1,
+        [corr[(3 + b) * rows:(4 + b) * rows, :3] for b in range(3)], axis=1,
     )
 
 
@@ -197,8 +216,11 @@ def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_
     lhs = jnp.concatenate(
         [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
     )
+    # cotangents arrive in the kernel's transposed [3b+a] layout: each b-block
+    # is the contiguous slice [:, 3b:3b+3]
     cts = jnp.concatenate(
-        [_cols(da, b) for b in range(3)] + [_cols(dy, b) for b in range(3)], axis=0
+        [da[:, 3 * b:3 * b + 3] for b in range(3)]
+        + [dy[:, 3 * b:3 * b + 3] for b in range(3)], axis=0
     )                                                # (6 rows, 3)
     # d pos_slab = sum over the 6 stacked blocks of LHS_blk^T @ ct_blk
     dps_ref[0] = _dot_rows(lhs, cts)
@@ -214,7 +236,8 @@ def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def moments_pallas(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos_slab,
                    h, interpret=None):
-    """A_pq, Y moments: (t, rows, 9) each, column order 3*a + b."""
+    """A_pq, Y moments: (t, rows, 9) each, TRANSPOSED column order 3*b + a
+    (relabel with mat3.transpose3 after from_trailing)."""
     return _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
                              pos_rows, pos_slab, h, interpret)
 
@@ -403,52 +426,62 @@ forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
 
 
 # ============================================================ forces (K2, Warp mode)
-def _forces_warp_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
-                        m9_ref, sT_ref, r_slab_ref, rT_ref, vol_rows_ref,
-                        f_ref, *, h, chunks):
-    """Warp pairing (sim.py:227-234): R_j f_ij with f_ij = V_j F_i S_j (V_i nw).
+def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
+                           m9_ref, sr_ref, srT_ref, vol_rows_ref,
+                           f_ref, *, h, chunks):
+    """Warp pairing (sim.py:227-234): f_i = V_i/2 (sum_j R_j f_ij + M_i sum_j V_j nw).
 
-    termj[r, a] = sum_s V_j R_j[a, c] u_c[r, s],  u_c = sum_d F_i[3c+d] z_d,
-    z_d[r, s]   = sum_b nw_b[r, s] S_j[3d+b][s].
-    Slab processed in ``chunks`` pieces to bound live VMEM.
+    Slab conventions (per slot s):
+      sr_ref  (1, slab, 32): [S_9 | R_9^T | pad], R^T stored so the matmul
+              against ``sr`` yields, per c-block, the CONTIGUOUS columns
+              9+3c..9+3c+2 = sum_s u_c V_j R_j[a, c] for a = 0..2.
+      srT_ref (1, 32, slab): the same slab transposed OUTSIDE the kernel by
+              XLA (an in-kernel (L, 9) -> (9, L) relayout measured ~0.3 us per
+              tile — as large as all the pair math).
+    Volume V_j is folded into gfac once (nw carries it through z/u/svnw).
     """
     rr = restT_rows_ref[0]
-    f9 = f9_ref[0]                  # (rows, 9) F_i
-    m9 = m9_ref[0]                  # (rows, 9) M_i = R_i F_i S_i
-    vol_rows = vol_rows_ref[0]      # (rows, 1)
+    f9 = f9_ref[0]
+    m9 = m9_ref[0]
+    vol_rows = vol_rows_ref[0]
     rows = rr.shape[1]
     slab = restT_slab_ref.shape[2]
     L = slab // chunks
 
     termj = jnp.zeros_like(f9[:, :3])
-    svnw = jnp.concatenate([jnp.zeros_like(vol_rows)] * 3, axis=0)  # (3 rows, 1)
+    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     for k in range(chunks):
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]   # (1, L)
-        sT = sT_ref[0, :, k * L:(k + 1) * L]               # (9, L)
-        r_slab = r_slab_ref[0, k * L:(k + 1) * L, :]       # (L, 9)
-        nw = [gfac * dx[b] for b in range(3)]
+        dx, gfac = _pair_coeffs_g(rr, rs, h)
+        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]   # (rows, L), V_j folded
+        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (32, L)
+        nw = [gv * dx[b] for b in range(3)]
         z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
         u_stack = jnp.concatenate(
-            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3)) * vol_lane
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
              for c in range(3)], axis=0,
         )                                                   # (3 rows, L)
-        dots = _dot(u_stack, r_slab)                        # (3 rows, 9)
+        dots = _dot(u_stack, sr_ref[0, k * L:(k + 1) * L, :])  # (3 rows, 32)
         for c in range(3):
-            termj = termj + _cols(dots[c * rows:(c + 1) * rows], c)
-        gv_stack = jnp.concatenate([nw[b] * vol_lane for b in range(3)], axis=0)
-        svnw = svnw + jnp.sum(gv_stack, axis=1, keepdims=True)
+            termj = termj + dots[c * rows:(c + 1) * rows, 9 + 3 * c:12 + 3 * c]
+        for b in range(3):
+            svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
     term_i = jnp.concatenate(
-        [sum(m9[:, 3 * a + b: 3 * a + b + 1] * svnw[b * rows:(b + 1) * rows]
-             for b in range(3)) for a in range(3)], axis=1,
+        [sum(m9[:, 3 * a + b: 3 * a + b + 1] * svnw[b] for b in range(3))
+         for a in range(3)], axis=1,
     )
     f_ref[0] = 0.5 * vol_rows * (termj + term_i)
 
 
-def _forces_warp_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
-                            sT_ref, rT_ref, vol_rows_ref, df_ref,
-                            df9_ref, dm9_ref, dsT_ref, dr_ref, *, h, chunks):
+def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
+                               f9_ref, srT_ref, vol_rows_ref, df_ref,
+                               df9_ref, dm9_ref, dsT_ref, dr_ref, *, h, chunks):
+    """Backward of :func:`_forces_warp_kernel_v2`.
+
+    Outputs: dsT (1, 9, slab) cotangent of S (lane-major, [3d+b]); dr
+    (1, slab, 9) cotangent of R in the SAME R^T column order [3c+a] the
+    forward consumes, so the packed scatter-add is layout-free.
+    """
     rr = restT_rows_ref[0]
     f9 = f9_ref[0]
     vol_rows = vol_rows_ref[0]
@@ -457,37 +490,32 @@ def _forces_warp_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref
     slab = restT_slab_ref.shape[2]
     L = slab // chunks
 
-    svnw = jnp.concatenate([jnp.zeros_like(vol_rows)] * 3, axis=0)
+    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     df9_acc = [jnp.zeros_like(vol_rows) for _ in range(9)]
     for k in range(chunks):
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]
-        sT = sT_ref[0, :, k * L:(k + 1) * L]
-        rT = rT_ref[0, :, k * L:(k + 1) * L]
-        nw = [gfac * dx[b] for b in range(3)]
+        dx, gfac = _pair_coeffs_g(rr, rs, h)
+        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
+        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (32, L)
+        nw = [gv * dx[b] for b in range(3)]                 # V_j folded
         z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
-        gv_stack = jnp.concatenate([nw[b] * vol_lane for b in range(3)], axis=0)
-        svnw = svnw + jnp.sum(gv_stack, axis=1, keepdims=True)
+        for b in range(3):
+            svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
 
-        # dR_slab[s, 3a+c] = sum_r u'_c[r, s] df[r, a]
         u_stack = jnp.concatenate(
-            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3)) * vol_lane
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
              for c in range(3)], axis=0,
         )
-        dr_cols = [None] * 9
         wprime = []
         for c in range(3):
+            # dR^T[s, 3c+a] = sum_r u_c[r, s] df[r, a] (u carries V_j)
             contrib = _dot_rows(u_stack[c * rows:(c + 1) * rows], df)   # (L, 3)
-            for a in range(3):
-                dr_cols[3 * a + c] = contrib[:, a: a + 1]
-            # w'_c[r, s] = V_j sum_a df[r, a] R_j[3a+c][s]
+            dr_ref[0, k * L:(k + 1) * L, 3 * c:3 * c + 3] = contrib
+            # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]  (no V: nw carries it)
             wprime.append(
-                vol_lane * sum(df[:, a: a + 1] * rT[3 * a + c][None, :] for a in range(3))
+                sum(df[:, a: a + 1] * sT[9 + 3 * c + a][None, :] for a in range(3))
             )
-        dr_ref[0, k * L:(k + 1) * L, :] = jnp.concatenate(dr_cols, axis=1)
 
-        # dF[r, 3c+d] = sum_s z_d w'_c ;  dS_T[3d+b][s] = sum_r nw_b y_d
         y = []
         for d in range(3):
             for c in range(3):
@@ -498,80 +526,34 @@ def _forces_warp_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref
         ds_rows = [None] * 9
         for d in range(3):
             for b in range(3):
-                ds_rows[3 * d + b] = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)  # (1, L)
+                ds_rows[3 * d + b] = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)
         dsT_ref[0, :, k * L:(k + 1) * L] = jnp.concatenate(ds_rows, axis=0)
 
-    # dM[r, 3a+b] = df[r, a] * svnw_b[r]
     dm_cols = [None] * 9
     for a in range(3):
         for b in range(3):
-            dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b * rows:(b + 1) * rows]
+            dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b]
     dm9_ref[0] = jnp.concatenate(dm_cols, axis=1)
     df9_ref[0] = jnp.concatenate(df9_acc, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def forces_warp_pallas(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                       s_slabT, r_slab, r_slabT, vol_rows, h, interpret=None):
-    """Warp-mode (pair_def_grad="i") elastic forces: (t, rows, 3).
-
-    ``r_slabT`` is unused in the forward pass but saved for the backward
-    kernel (R_j is needed as lane vectors there); its cotangent is zero —
-    XLA sums it with ``r_slab``'s full cotangent at the shared gather source.
-    """
-    return _forces_warp_fwd_impl(restT_rows, restT_slab, vol_slab, f9_rows,
-                                 m9_rows, s_slabT, r_slab, r_slabT, vol_rows,
-                                 h, interpret)
-
-
-def _forces_warp_fwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                          s_slabT, r_slab, r_slabT, vol_rows, h, interpret):
-    t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
-    interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_forces_warp_kernel, h=h, chunks=_WARP_CHUNKS), 10)
-    args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
-         s_slabT, r_slab, r_slabT, vol_rows[:, :, None]], t)
-    out = pl.pallas_call(
-        kernel,
-        grid=(t_pad // _TILE_BATCH,),
-        in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
-            (9, slab), (slab, 9), (9, slab), (rows, 1),
-        ]),
-        out_specs=_tile_specs([(rows, 3)])[0],
-        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
-        interpret=interpret,
-    )(*args)
-    return out[:t]
-
-
-def _forces_warp_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                         s_slabT, r_slab, r_slabT, vol_rows, h, interpret):
-    out = _forces_warp_fwd_impl(restT_rows, restT_slab, vol_slab, f9_rows,
-                                m9_rows, s_slabT, r_slab, r_slabT, vol_rows,
-                                h, interpret)
-    return out, (restT_rows, restT_slab, vol_slab, f9_rows, s_slabT, r_slabT, vol_rows)
-
-
-def _forces_warp_vjp_bwd(h, interpret, res, df, chunks=None):
-    restT_rows, restT_slab, vol_slab, f9_rows, s_slabT, r_slabT, vol_rows = res
+def _forces_warp_bwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, srT_slab,
+                          vol_rows, df, h, interpret, chunks):
+    """pallas_call wrapper for the v2 warp backward (used by packed.py)."""
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
     kernel = _batched(
-        functools.partial(_forces_warp_bwd_kernel, h=h,
-                          chunks=chunks or _WARP_CHUNKS), 12)
+        functools.partial(_forces_warp_bwd_kernel_v2, h=h, chunks=chunks), 11)
     args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, s_slabT, r_slabT,
+        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, srT_slab,
          vol_rows[:, :, None], df], t)
     df9, dm9, dsT, dr = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9),
-            (9, slab), (9, slab), (rows, 1), (rows, 3),
+            (32, slab), (rows, 1), (rows, 3),
         ]),
         out_specs=_tile_specs([(rows, 9), (rows, 9), (9, slab), (slab, 9)]),
         out_shape=[
@@ -582,51 +564,4 @@ def _forces_warp_vjp_bwd(h, interpret, res, df, chunks=None):
         ],
         interpret=interpret,
     )(*args)
-    zero_rT = jnp.zeros_like(r_slabT)
-    return (None, None, None, df9[:t], dm9[:t], dsT[:t], dr[:t], zero_rT, None)
-
-
-forces_warp_pallas.defvjp(_forces_warp_vjp_fwd, _forces_warp_vjp_bwd)
-
-
-def _forces_warp_kernel_packed(restT_rows_ref, restT_slab_ref, vol_slab_ref,
-                               f9_ref, m9_ref, sr_ref, vol_rows_ref,
-                               f_ref, *, h, chunks):
-    """Warp forces with the fused packed slab: sr_ref (1, slab, 32) holds
-    [S_9 | R_9 | pad] per slot.  R is used as matmul-RHS columns 9..17; S is
-    transposed per chunk into lane vectors."""
-    rr = restT_rows_ref[0]
-    f9 = f9_ref[0]
-    m9 = m9_ref[0]
-    vol_rows = vol_rows_ref[0]
-    rows = rr.shape[1]
-    slab = restT_slab_ref.shape[2]
-    L = slab // chunks
-
-    termj = jnp.zeros_like(f9[:, :3])
-    svnw = jnp.concatenate([jnp.zeros_like(vol_rows)] * 3, axis=0)
-    for k in range(chunks):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
-        dx, w, gfac = _pair_coeffs(rr, rs, h)
-        vol_lane = vol_slab_ref[0, :, k * L:(k + 1) * L]
-        sr = sr_ref[0, k * L:(k + 1) * L, :]               # (L, 32)
-        sT = sr[:, :9].T                                    # (9, L)
-        nw = [gfac * dx[b] for b in range(3)]
-        z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
-        u_stack = jnp.concatenate(
-            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3)) * vol_lane
-             for c in range(3)], axis=0,
-        )
-        dots = _dot(u_stack, sr)                            # (3 rows, 32)
-        for c in range(3):
-            block = dots[c * rows:(c + 1) * rows]
-            termj = termj + jnp.stack(
-                [block[:, 9 + 3 * a + c] for a in range(3)], axis=1
-            )
-        gv_stack = jnp.concatenate([nw[b] * vol_lane for b in range(3)], axis=0)
-        svnw = svnw + jnp.sum(gv_stack, axis=1, keepdims=True)
-    term_i = jnp.concatenate(
-        [sum(m9[:, 3 * a + b: 3 * a + b + 1] * svnw[b * rows:(b + 1) * rows]
-             for b in range(3)) for a in range(3)], axis=1,
-    )
-    f_ref[0] = 0.5 * vol_rows * (termj + term_i)
+    return df9[:t], dm9[:t], dsT[:t], dr[:t]

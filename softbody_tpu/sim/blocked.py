@@ -233,11 +233,11 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                           cfg: SimConfig, interpret=None):
     """Fused Pallas pair kernels + lane-packed XLA mid-section.
 
-    Identical math to :func:`elastic_forces_blocked`.  The pair stages run as
-    TPU kernels that FETCH their neighbor slabs from HBM with per-tile async
-    DMAs (ops/pallas/fetch.py) — XLA's gather costs ~3.5ns/row, which would
-    dominate the step.  Custom VJPs keep the whole path differentiable
-    (backward pays an XLA scatter-add for the slab transpose).
+    Identical math to :func:`elastic_forces_blocked`.  Neighbor slabs move as
+    packed 128-float rows through XLA gathers (measured ~2ns/row / 263GB/s on
+    v5e — see ops/pallas/packed.py); the pair stages run as TPU kernels with
+    custom VJPs, so the whole path differentiates (backward pays an XLA
+    scatter-add for the slab transpose).
     """
     from ..ops.pallas.packed import forces_packed, forces_warp_packed, moments_packed
     from ..ops.pallas.pair_kernels import _interpret_default
@@ -257,8 +257,9 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
         pos_rows, pos_slots, blk.gidx8, cfg.h, interpret,
     )
-    A = mat3.from_trailing(A9.reshape(m, 3, 3))
-    Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
+    # the moments kernel emits the transposed [3b+a] layout; relabel (free)
+    A = mat3.transpose3(mat3.from_trailing(A9.reshape(m, 3, 3)))
+    Y = mat3.transpose3(mat3.from_trailing(Y9.reshape(m, 3, 3)))
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
 
@@ -277,8 +278,10 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         # (n_slots, 18) slab source.
         F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
         M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
+        # [S_9 | R_9^T] (see forces_warp_packed)
         sr = jnp.concatenate(
-            [mat3.to_trailing(S).reshape(m, 9), mat3.to_trailing(R).reshape(m, 9)],
+            [mat3.to_trailing(S).reshape(m, 9),
+             mat3.to_trailing(mat3.transpose3(R)).reshape(m, 9)],
             axis=1,
         )
         sr_slots = jnp.zeros((blk.n_slots, 18), dtype=dtype).at[:m].set(sr)

@@ -39,37 +39,52 @@ from .scene import lame_parameters
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "tile_ids", "gidx8", "gidx4", "restT_rows", "restT_slab",
-        "mass_slab", "vol_slab",
+        "gidx8", "gidx4", "restT_rows", "restT_slab", "mass_slab", "vol_slab",
     ],
-    meta_fields=["rows", "slab_len"],
+    meta_fields=["tile_start", "rows", "slab_len"],
 )
 @dataclasses.dataclass(frozen=True)
 class DevBucket:
-    """One bucket's static device arrays (t_b tiles, slab_len candidates)."""
+    """One bucket's static device arrays (t_b tiles, slab_len candidates).
 
-    tile_ids: jnp.ndarray    # (t_b,) int32 global tile indices
+    Tiles are laid out BUCKET-MAJOR (topology/sparse.py permutes the slot
+    space), so a bucket's tiles are rows [tile_start, tile_start + t_b) of any
+    (n_tiles, ...) array — per-step row gathers are free static slices.
+    """
+
     gidx8: jnp.ndarray       # (t_b, slab/8) packed-row ids (16 f/slot sources)
     gidx4: jnp.ndarray       # (t_b, slab/4) packed-row ids (32 f/slot sources)
     restT_rows: jnp.ndarray  # (t_b, 3, rows)
     restT_slab: jnp.ndarray  # (t_b, 3, slab)
     mass_slab: jnp.ndarray   # (t_b, slab)
     vol_slab: jnp.ndarray    # (t_b, slab)
+    tile_start: int
     rows: int
     slab_len: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.restT_rows.shape[0]
+
+    def rows_of(self, arr):
+        """Slice this bucket's tiles out of a tile-major array (free)."""
+        return jax.lax.slice_in_dim(arr, self.tile_start,
+                                    self.tile_start + self.n_tiles, axis=0)
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets", "gather_back"],
+    data_fields=["buckets"],
     meta_fields=["rows", "n_tiles", "n_slots"],
 )
 @dataclasses.dataclass(frozen=True)
 class SparseBlocked:
-    """Device-side sparse-bucketed topology (lives in Scene.blocked)."""
+    """Device-side sparse-bucketed topology (lives in Scene.blocked).
+
+    Bucket-major tile order: concatenating per-bucket results along axis 0
+    directly yields tile order (no unpermute needed)."""
 
     buckets: tuple           # tuple[DevBucket, ...]
-    gather_back: jnp.ndarray  # (n_tiles,) position of tile t in bucket-concat order
     rows: int
     n_tiles: int
     n_slots: int
@@ -133,26 +148,21 @@ def build_sparse_scene(
         return (gids.astype(np.int64)[:, :, None] * GROUP
                 + np.arange(GROUP)[None, None, :]).reshape(gids.shape[0], -1)
 
-    gather_back = np.empty(n_tiles, dtype=np.int64)
-    gather_back[np.concatenate([b.tile_ids for b in layout.buckets])] = (
-        np.arange(n_tiles)
-    )
-
     def make_bucket(b, vol_np):
         sl = slab_slots(b.group_ids)                       # (t_b, S)
         rs = rest_slots[sl]                                # (t_b, S, 3)
-        tid = b.tile_ids.astype(np.int64)
+        tid = b.tile_ids.astype(np.int64)                  # contiguous range
         rr = rest_slots[tid[:, None] * rows + np.arange(rows)[None, :]]
         g2 = b.group_ids.astype(np.int64)
         gidx4 = np.stack([2 * g2, 2 * g2 + 1], axis=-1).reshape(g2.shape[0], -1)
         return DevBucket(
-            tile_ids=jnp.asarray(b.tile_ids, jnp.int32),
             gidx8=jnp.asarray(b.group_ids, jnp.int32),
             gidx4=jnp.asarray(gidx4, jnp.int32),
             restT_rows=jnp.asarray(np.swapaxes(rr, 1, 2), dtype),
             restT_slab=jnp.asarray(np.swapaxes(rs, 1, 2), dtype),
             mass_slab=jnp.asarray(mass[sl], dtype),
             vol_slab=jnp.asarray(vol_np[sl], dtype),
+            tile_start=int(tid[0]),
             rows=rows,
             slab_len=int(sl.shape[1]),
         )
@@ -176,7 +186,6 @@ def build_sparse_scene(
     buckets = tuple(make_bucket(b, vol_np=volume) for b in layout.buckets)
     sb = SparseBlocked(
         buckets=buckets,
-        gather_back=jnp.asarray(gather_back, jnp.int32),
         rows=rows,
         n_tiles=n_tiles,
         n_slots=ns,
@@ -222,15 +231,17 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     for b in sb.buckets:
         A9b, Y9b = moments_packed(
             b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
-            jnp.take(pos_rows, b.tile_ids, axis=0), pos_slots, b.gidx8,
+            b.rows_of(pos_rows), pos_slots, b.gidx8,
             cfg.h, interpret,
         )
         a_parts.append(A9b)
         y_parts.append(Y9b)
-    A9 = jnp.concatenate(a_parts, axis=0)[sb.gather_back]
-    Y9 = jnp.concatenate(y_parts, axis=0)[sb.gather_back]
-    A = mat3.from_trailing(A9.reshape(m, 3, 3))
-    Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
+    # bucket-major tile order: concat IS tile order (no unpermute)
+    A9 = jnp.concatenate(a_parts, axis=0)
+    Y9 = jnp.concatenate(y_parts, axis=0)
+    # the kernel emits the transposed [3b+a] layout; relabel (free at mat3 level)
+    A = mat3.transpose3(mat3.from_trailing(A9.reshape(m, 3, 3)))
+    Y = mat3.transpose3(mat3.from_trailing(Y9.reshape(m, 3, 3)))
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
 
@@ -245,26 +256,27 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         for b in sb.buckets:
             f_parts.append(forces_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
-                jnp.take(G9_rows, b.tile_ids, axis=0), g_slots,
-                jnp.take(vol_rows, b.tile_ids, axis=0), b.gidx8,
+                b.rows_of(G9_rows), g_slots, b.rows_of(vol_rows), b.gidx8,
                 cfg.h, interpret,
             ))
     else:
         F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
         M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
+        # [S_9 | R_9^T]: R ships transposed so the kernel's matmul extraction
+        # is contiguous (see forces_warp_packed)
         sr = jnp.concatenate(
-            [mat3.to_trailing(S).reshape(m, 9), mat3.to_trailing(R).reshape(m, 9)],
+            [mat3.to_trailing(S).reshape(m, 9),
+             mat3.to_trailing(mat3.transpose3(R)).reshape(m, 9)],
             axis=1,
         )
         sr_slots = jnp.zeros((sb.n_slots, 18), dtype=dtype).at[:m].set(sr)
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
-                jnp.take(F9_rows, b.tile_ids, axis=0),
-                jnp.take(M9_rows, b.tile_ids, axis=0), sr_slots,
-                jnp.take(vol_rows, b.tile_ids, axis=0), b.gidx4,
+                b.rows_of(F9_rows), b.rows_of(M9_rows), sr_slots,
+                b.rows_of(vol_rows), b.gidx4,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))
-    f = jnp.concatenate(f_parts, axis=0)[sb.gather_back]
+    f = jnp.concatenate(f_parts, axis=0)
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f.reshape(m, 3))

@@ -227,15 +227,38 @@ def build_sparse_layout(
     rank = np.arange(len(ct)) - first[ct]
     mat[ct, rank] = cand_group[ord2]
 
+    # ---- permute tiles BUCKET-MAJOR so each bucket is a contiguous tile range:
+    # per-bucket row gathers become free slices, the bucket-concat order equals
+    # tile order (no unpermute), and per-step s32 index staging disappears.
+    order_tiles = np.concatenate(
+        [np.flatnonzero(tile_cap == cap) for cap in caps])  # old ids, new order
+    inv_tile = np.empty(n_tiles, dtype=np.int64)
+    inv_tile[order_tiles] = np.arange(n_tiles)
+    gpt = rows // GROUP  # groups per tile
+
+    slot_of_particle = (
+        inv_tile[slot_of_particle // rows] * rows + slot_of_particle % rows
+    )
+    particle_of_slot = np.full(n_slots, -1, dtype=np.int64)
+    particle_of_slot[slot_of_particle] = np.arange(n)
+
+    def remap_groups(g):
+        """Old group id -> new (the trailing empty group maps to itself)."""
+        body = g < empty_gid
+        safe = np.where(body, g, 0)
+        return np.where(body, inv_tile[safe // gpt] * gpt + safe % gpt, g)
+
     buckets = []
+    start = 0
     for cap in caps:
         ids = np.flatnonzero(tile_cap == cap)
         if len(ids) == 0:
             continue
         buckets.append(SparseBucket(
-            tile_ids=ids.astype(np.int32),
-            group_ids=mat[ids, :cap].astype(np.int32),
+            tile_ids=np.arange(start, start + len(ids), dtype=np.int32),
+            group_ids=remap_groups(mat[ids, :cap]).astype(np.int32),
         ))
+        start += len(ids)
 
     true_pairs = None  # expensive; validator computes it on demand
     padded_pairs = int(sum(len(b.tile_ids) * b.slab_len * rows for b in buckets))

@@ -8,9 +8,14 @@ carry shape stays fixed.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# run from anywhere without PYTHONPATH (which breaks axon plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -52,9 +57,9 @@ def main():
     scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows)
     sb = scene.blocked
     print(f"N={n} slots={sb.n_slots} tiles={sb.n_tiles} "
-          f"buckets={[(len(b.tile_ids), b.slab_len) for b in sb.buckets]} "
+          f"buckets={[(b.n_tiles, b.slab_len) for b in sb.buckets]} "
           f"build={time.perf_counter()-t0:.1f}s")
-    pairs = sum(len(b.tile_ids) * b.slab_len * sb.rows for b in sb.buckets)
+    pairs = sum(b.n_tiles * b.slab_len * sb.rows for b in sb.buckets)
     print(f"pairs/eval={pairs:.3e} ({pairs/n:.0f}/particle)")
 
     t, rows = sb.n_tiles, sb.rows
@@ -99,11 +104,11 @@ def main():
         for b in sb.buckets:
             A9b, Y9b = moments_packed(
                 b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
-                jnp.take(pos_rows, b.tile_ids, axis=0), p, b.gidx8,
+                b.rows_of(pos_rows), p, b.gidx8,
                 cfg.h, False,
             )
             parts.append(A9b + Y9b)
-        s = jnp.concatenate(parts, axis=0)[sb.gather_back]
+        s = jnp.concatenate(parts, axis=0)
         return p.at[:m].add(1e-12 * s[..., :3].reshape(m, 3))
 
     # --- K1 + mid-section
@@ -113,13 +118,13 @@ def main():
         for b in sb.buckets:
             A9b, Y9b = moments_packed(
                 b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
-                jnp.take(pos_rows, b.tile_ids, axis=0), p, b.gidx8,
+                b.rows_of(pos_rows), p, b.gidx8,
                 cfg.h, False,
             )
             a_parts.append(A9b)
             y_parts.append(Y9b)
-        A9 = jnp.concatenate(a_parts, axis=0)[sb.gather_back]
-        Y9 = jnp.concatenate(y_parts, axis=0)[sb.gather_back]
+        A9 = jnp.concatenate(a_parts, axis=0)
+        Y9 = jnp.concatenate(y_parts, axis=0)
         A = mat3.from_trailing(A9.reshape(m, 3, 3))
         Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
         R, F, S, M, G, vol_m = _mid_section(A, Y, ratio, mats, scene, cfg, m)
@@ -133,6 +138,36 @@ def main():
             g = gather_packed(packed, b.gidx8, b.slab_len, 16)
             acc = acc + jnp.sum(g[:, ::64, 0])
         return p + 1e-18 * acc
+
+    # --- S|R slab gather only (gidx4, 32 f/slot)
+    def sr_gather_only(p):
+        sr = jnp.concatenate([p, p, p, p, p, p], axis=1)  # (ns, 18)
+        packed = pack(sr, 18, 32, 4)
+        acc = 0.0
+        for b in sb.buckets:
+            g = gather_packed(packed, b.gidx4, b.slab_len, 32)
+            acc = acc + jnp.sum(g[:, ::64, 0])
+        return p + 1e-18 * acc
+
+    # --- K2 warp forces only (fixed cheap F/M/SR derived from p)
+    def k2_only(p):
+        pos_rows = p[:m].reshape(t, rows, 3)
+        f9_rows = jnp.tile(pos_rows, (1, 1, 3))          # (t, rows, 9)
+        m9_rows = f9_rows
+        sr = jnp.concatenate([p, p, p, p, p, p], axis=1)  # (ns, 18)
+        vol_rows_ = scene.materials.volume[:m].reshape(t, rows)
+        sr_slots = sr
+        f_parts = []
+        for b in sb.buckets:
+            f_parts.append(forces_warp_packed(
+                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.rows_of(f9_rows),
+                b.rows_of(m9_rows), sr_slots,
+                b.rows_of(vol_rows_), b.gidx4,
+                cfg.h, False, chunks=_chunks_for(b.slab_len),
+            ))
+        f = jnp.concatenate(f_parts, axis=0)
+        return p.at[:m].add(1e-12 * f.reshape(m, 3))
 
     # --- integrator shell without elastic forces
     def integ_only(p):
@@ -148,8 +183,10 @@ def main():
 
     timed("integrator-shell", integ_only)
     timed("pos-slab-gather", gather_only)
+    timed("sr-slab-gather", sr_gather_only)
     timed("K1 moments", k1_only)
     timed("K1+mid", k1_mid)
+    timed("K2 warp forces", k2_only)
     e = timed("full elastic eval", full_eval)
 
     # --- full step (2 evals, trapezoidal)
