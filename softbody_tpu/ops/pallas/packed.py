@@ -4,9 +4,9 @@ Measured on v5e: XLA gather and Pallas DMA both move data at a fixed ~3.5ns per
 ROW unless rows are 128 floats wide, where they reach memory bandwidth.  So all
 dynamic slab traffic here is packed into (n_groups, 128) arrays:
 
-  positions: 16 floats/slot ->  8 slots/row   (8-slot group alignment)
+  positions: 8 floats/slot  ->  8 slots/row, 64-float rows
   G (9f):    16 floats/slot ->  8 slots/row
-  S|R (18f): 32 floats/slot ->  4 slots/row   (Warp mode)
+  [S6|R9^T]: 16 floats/slot ->  8 slots/row   (Warp mode, fused record)
 
 Packing/unpacking is free in XLA (row-major reshapes); the per-tile group-row
 index tables are static (Blocked.gidx32/gidx8/gidx4).  Backward passes scatter
@@ -61,12 +61,13 @@ def _scan_chunks(body, per_tile_args, t, acc_init):
 
 
 def pack(arr, width, pad_width, group):
-    """(n_slots, width) -> (n_slots/group, 128) with zero padding to pad_width."""
+    """(n_slots, width) -> (n_slots/group, group*pad_width) rows, zero-padded
+    to pad_width floats per slot."""
     n = arr.shape[0]
     padded = jnp.concatenate(
         [arr, jnp.zeros((n, pad_width - width), arr.dtype)], axis=1
     ) if pad_width > width else arr
-    return padded.reshape(n // group, 128)
+    return padded.reshape(n // group, group * pad_width)
 
 
 def gather_packed(packed, gidx, slab, pad_width):
@@ -83,8 +84,8 @@ def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
         cot = jnp.concatenate(
             [cot, jnp.zeros(cot.shape[:2] + (pad_width - width,), cot.dtype)], axis=2
         )
-    rows = cot.reshape(t * slab // group, 128)
-    out = jnp.zeros((n_slots // group, 128), cot.dtype)
+    rows = cot.reshape(t * slab // group, group * pad_width)
+    out = jnp.zeros((n_slots // group, group * pad_width), cot.dtype)
     out = out.at[gidx.reshape(-1)].add(rows)
     return out.reshape(n_slots, pad_width)[:, :width]
 
@@ -101,12 +102,14 @@ def moments_packed(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
 def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
                         pos_slots, gidx8, h, interpret):
     slab = restT_slab.shape[2]
-    pos_slab16 = gather_packed(pack(pos_slots, 3, 16, 8), gidx8, slab, 16)
-    pos_rows16 = jnp.concatenate(
-        [pos_rows, jnp.zeros(pos_rows.shape[:2] + (13,), pos_rows.dtype)], axis=2
+    # 8 f/slot (64-float rows): gather cost is per-ROW, so narrower rows halve
+    # the staged source bytes at the same row count
+    pos_slab8 = gather_packed(pack(pos_slots, 3, 8, 8), gidx8, slab, 8)
+    pos_rows8 = jnp.concatenate(
+        [pos_rows, jnp.zeros(pos_rows.shape[:2] + (5,), pos_rows.dtype)], axis=2
     )
     out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_rows16, pos_slab16, h, interpret)
+                               pos_rows8, pos_slab8, h, interpret)
     return out, None
 
 
@@ -128,7 +131,7 @@ def _moments_packed_vjp_bwd(h, interpret, res, cts):
         dpr_c, dps_c = pk._moments_vjp_bwd(
             h, interpret, (rr, rs, ms, vs), (da_c, dy_c)
         )[4:6]
-        return scatter_packed_add(dps_c, gi, n_slots, 3, 16, 8), dpr_c
+        return scatter_packed_add(dps_c, gi, n_slots, 3, 8, 8), dpr_c
 
     dpos, dpr = _scan_chunks(
         body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, da, dy), t,
@@ -187,31 +190,33 @@ forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
 # --------------------------------------------------------------------- forces (warp)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def forces_warp_packed(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                       sr_slots, vol_rows, gidx4, h, interpret=False,
+                       sr_slots, vol_rows, gidx8, h, interpret=False,
                        chunks=None):
-    """Warp-mode forces; sr_slots: (n_slots, 18) = [S_9 | R_9^T] per slot
-    (R transposed: column 3c+a holds R[a, c] — lets the in-kernel matmul
-    extraction use contiguous slices).
+    """Warp-mode forces.
 
-    The gathered slab ships to the kernel twice: in natural (slab, 32) row
-    layout (matmul RHS) and transposed (32, slab) by XLA (S/R lane vectors) —
-    an in-kernel (L, 9) -> (9, L) Mosaic relayout measured as expensive as all
-    the pair math.  ``chunks`` bounds live VMEM for long slabs.
+    sr_slots (n_slots, 15): fused per-slot record [S_6 | R_9^T]:
+      S symmetric as [s00 s01 s02 s11 s12 s22] (kernels remap via _SYM6);
+      R transposed ([3c+a] = R[a, c]) so matmul extraction is contiguous.
+    One 16f-padded packed source -> ONE gather via gidx8 (each distinct gather
+    source costs a full per-iteration staging copy inside the scan: measured
+    ~0.7 ms per 7.7MB source at 100k).  The slab also ships pre-transposed by
+    XLA (in-kernel Mosaic relayout is ~0.3 us/tile).
     """
     return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                   m9_rows, sr_slots, vol_rows, gidx4, h,
+                                   m9_rows, sr_slots, vol_rows, gidx8, h,
                                    interpret, chunks)
 
 
 def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                            sr_slots, vol_rows, gidx4, h, interpret, chunks=None):
+                            sr_slots, vol_rows, gidx8, h, interpret,
+                            chunks=None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
-    sr_slab = gather_packed(pack(sr_slots, 18, 32, 4), gidx4, slab, 32)
-    srT_slab = jnp.swapaxes(sr_slab, 1, 2)              # (t, 32, slab), XLA-side
+    sr_slab = gather_packed(pack(sr_slots, 15, 16, 8), gidx8, slab, 16)
+    srT_slab = jnp.swapaxes(sr_slab, 1, 2)              # (t, 16, slab), XLA-side
     kernel = pk._batched(
         functools.partial(pk._forces_warp_kernel_v2, h=h,
                           chunks=chunks or pk._WARP_CHUNKS), 9)
@@ -223,7 +228,7 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
         grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
-            (slab, 32), (32, slab), (rows, 1),
+            (slab, 16), (16, slab), (rows, 1),
         ]),
         out_specs=pk._tile_specs([(rows, 3)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
@@ -233,40 +238,39 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
 
 
 def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                m9_rows, sr_slots, vol_rows, gidx4, h, interpret,
-                                chunks=None):
+                                m9_rows, sr_slots, vol_rows, gidx8, h,
+                                interpret, chunks=None):
     out = _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                  m9_rows, sr_slots, vol_rows, gidx4, h,
+                                  m9_rows, sr_slots, vol_rows, gidx8, h,
                                   interpret, chunks)
     return out, (restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows,
-                 gidx4)
+                 gidx8)
 
 
 def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
-    restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows, gidx4 = res
+    restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows, gidx8 = res
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     n_slots = sr_slots.shape[0]
-    sr_packed = pack(sr_slots, 18, 32, 4)
+    sr_packed = pack(sr_slots, 15, 16, 8)
 
     def body(args):
         rr, rs, vs, f9_c, vr, gi, df_c = args
-        # the backward kernel needs the transposed slab: regather (packed,
-        # chunked) + XLA transpose — backward pays a relayout, forward stays
-        # bandwidth-fast
-        srT = jnp.swapaxes(gather_packed(sr_packed, gi, slab, 32), 1, 2)
-        df9_c, dm9_c, dsT_c, dr_c = pk._forces_warp_bwd_impl(
+        # backward needs the lane-major slab: regather (packed, chunked) + XLA
+        # transpose — backward pays the relayout, forward stays bandwidth-fast
+        srT = jnp.swapaxes(gather_packed(sr_packed, gi, slab, 16), 1, 2)
+        df9_c, dm9_c, dsT6_c, dr_c = pk._forces_warp_bwd_impl(
             rr, rs, vs, f9_c, srT, vr, df_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
         )
-        ds_c = jnp.swapaxes(dsT_c, 1, 2)                  # (chunk, slab, 9)
-        dsr_c = jnp.concatenate([ds_c, dr_c], axis=-1)    # (chunk, slab, 18)
-        return scatter_packed_add(dsr_c, gi, n_slots, 18, 32, 4), (df9_c, dm9_c)
+        dsr_c = jnp.concatenate(
+            [jnp.swapaxes(dsT6_c, 1, 2), dr_c], axis=-1)   # (chunk, slab, 15)
+        return scatter_packed_add(dsr_c, gi, n_slots, 15, 16, 8), (df9_c, dm9_c)
 
     dsr_slots, (df9, dm9) = _scan_chunks(
         body,
-        (restT_rows, restT_slab, vol_slab, f9_rows, vol_rows, gidx4, df), t,
-        jnp.zeros((n_slots, 18), df.dtype),
+        (restT_rows, restT_slab, vol_slab, f9_rows, vol_rows, gidx8, df), t,
+        jnp.zeros((n_slots, 15), df.dtype),
     )
     return (None, None, None, df9, dm9, dsr_slots, None, None)
 

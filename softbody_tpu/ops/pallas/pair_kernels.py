@@ -426,18 +426,26 @@ forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
 
 
 # ============================================================ forces (K2, Warp mode)
+# S is SYMMETRIC (StVK: S = (2 mu E + lambda tr(E) I) * scale with E = E^T), so
+# it travels as 6 unique components [s00 s01 s02 s11 s12 s22]; the kernels remap
+# (d, b) -> _SYM6[3d+b].  Fused per-slot record: [S_6 | R_9^T | pad] = 16 floats
+# -> ONE packed (n_slots/8, 128) gather source for the whole K2 stage (every
+# separate gather source costs a full per-iteration staging copy inside the
+# scan — measured ~0.7 ms per 7.7MB source at 100k).
+_SYM6 = (0, 1, 2, 1, 3, 4, 2, 4, 5)
+
+
 def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
                            m9_ref, sr_ref, srT_ref, vol_rows_ref,
                            f_ref, *, h, chunks):
     """Warp pairing (sim.py:227-234): f_i = V_i/2 (sum_j R_j f_ij + M_i sum_j V_j nw).
 
-    Slab conventions (per slot s):
-      sr_ref  (1, slab, 32): [S_9 | R_9^T | pad], R^T stored so the matmul
-              against ``sr`` yields, per c-block, the CONTIGUOUS columns
-              9+3c..9+3c+2 = sum_s u_c V_j R_j[a, c] for a = 0..2.
-      srT_ref (1, 32, slab): the same slab transposed OUTSIDE the kernel by
-              XLA (an in-kernel (L, 9) -> (9, L) relayout measured ~0.3 us per
-              tile — as large as all the pair math).
+    sr_ref  (1, slab, 16): [S_6 | R_9^T | pad] per slot — matmul RHS; per
+            c-block the output columns 6+3c..8+3c are the CONTIGUOUS slice
+            sum_s u_c V_j R_j[a, c], a = 0..2.
+    srT_ref (1, 16, slab): the same slab transposed OUTSIDE the kernel by XLA
+            (an in-kernel (L, 16) -> (16, L) relayout measured ~0.3 us/tile);
+            rows 0..5 are the S lane vectors.
     Volume V_j is folded into gfac once (nw carries it through z/u/svnw).
     """
     rr = restT_rows_ref[0]
@@ -454,16 +462,17 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
         gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]   # (rows, L), V_j folded
-        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (32, L)
+        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (16, L)
         nw = [gv * dx[b] for b in range(3)]
-        z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
+        z = [sum(nw[b] * sT[_SYM6[3 * d + b]][None, :] for b in range(3))
+             for d in range(3)]
         u_stack = jnp.concatenate(
             [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
              for c in range(3)], axis=0,
         )                                                   # (3 rows, L)
-        dots = _dot(u_stack, sr_ref[0, k * L:(k + 1) * L, :])  # (3 rows, 32)
+        dots = _dot(u_stack, sr_ref[0, k * L:(k + 1) * L, :])  # (3 rows, 16)
         for c in range(3):
-            termj = termj + dots[c * rows:(c + 1) * rows, 9 + 3 * c:12 + 3 * c]
+            termj = termj + dots[c * rows:(c + 1) * rows, 6 + 3 * c:9 + 3 * c]
         for b in range(3):
             svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
     term_i = jnp.concatenate(
@@ -475,12 +484,14 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
 
 def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
                                f9_ref, srT_ref, vol_rows_ref, df_ref,
-                               df9_ref, dm9_ref, dsT_ref, dr_ref, *, h, chunks):
+                               df9_ref, dm9_ref, dsT6_ref, dr_ref, *, h, chunks):
     """Backward of :func:`_forces_warp_kernel_v2`.
 
-    Outputs: dsT (1, 9, slab) cotangent of S (lane-major, [3d+b]); dr
-    (1, slab, 9) cotangent of R in the SAME R^T column order [3c+a] the
-    forward consumes, so the packed scatter-add is layout-free.
+    srT (1, 16, slab) as in the forward.  Outputs: dsT6 (1, 6, slab) — the S
+    cotangent lane-major (off-diagonals accumulate both (d, b) and (b, d)
+    uses of the symmetric parameterization); dr (1, slab, 9) — the R^T
+    cotangent in the forward's column order.  The caller assembles the fused
+    [S_6 | R_9^T | pad] record in XLA (transposes there run at HBM speed).
     """
     rr = restT_rows_ref[0]
     f9 = f9_ref[0]
@@ -496,9 +507,10 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
         gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
-        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (32, L)
+        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (16, L)
         nw = [gv * dx[b] for b in range(3)]                 # V_j folded
-        z = [sum(nw[b] * sT[3 * d + b][None, :] for b in range(3)) for d in range(3)]
+        z = [sum(nw[b] * sT[_SYM6[3 * d + b]][None, :] for b in range(3))
+             for d in range(3)]
         for b in range(3):
             svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
 
@@ -511,9 +523,9 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
             # dR^T[s, 3c+a] = sum_r u_c[r, s] df[r, a] (u carries V_j)
             contrib = _dot_rows(u_stack[c * rows:(c + 1) * rows], df)   # (L, 3)
             dr_ref[0, k * L:(k + 1) * L, 3 * c:3 * c + 3] = contrib
-            # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]  (no V: nw carries it)
+            # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]; srT rows 6+3c+a
             wprime.append(
-                sum(df[:, a: a + 1] * sT[9 + 3 * c + a][None, :] for a in range(3))
+                sum(df[:, a: a + 1] * sT[6 + 3 * c + a][None, :] for a in range(3))
             )
 
         y = []
@@ -523,11 +535,13 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
                     z[d] * wprime[c], axis=1, keepdims=True
                 )
             y.append(sum(f9[:, 3 * c + d: 3 * c + d + 1] * wprime[c] for c in range(3)))
-        ds_rows = [None] * 9
+        ds6 = [None] * 6
         for d in range(3):
             for b in range(3):
-                ds_rows[3 * d + b] = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)
-        dsT_ref[0, :, k * L:(k + 1) * L] = jnp.concatenate(ds_rows, axis=0)
+                k6 = _SYM6[3 * d + b]
+                term = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)  # (1, L)
+                ds6[k6] = term if ds6[k6] is None else ds6[k6] + term
+        dsT6_ref[0, :, k * L:(k + 1) * L] = jnp.concatenate(ds6, axis=0)
 
     dm_cols = [None] * 9
     for a in range(3):
@@ -548,20 +562,20 @@ def _forces_warp_bwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, srT_slab,
     args, t_pad = _pad_tiles(
         [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, srT_slab,
          vol_rows[:, :, None], df], t)
-    df9, dm9, dsT, dr = pl.pallas_call(
+    df9, dm9, dsT6, dr = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9),
-            (32, slab), (rows, 1), (rows, 3),
+            (16, slab), (rows, 1), (rows, 3),
         ]),
-        out_specs=_tile_specs([(rows, 9), (rows, 9), (9, slab), (slab, 9)]),
+        out_specs=_tile_specs([(rows, 9), (rows, 9), (6, slab), (slab, 9)]),
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
             jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
-            jax.ShapeDtypeStruct((t_pad, 9, slab), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, 6, slab), df.dtype),
             jax.ShapeDtypeStruct((t_pad, slab, 9), df.dtype),
         ],
         interpret=interpret,
     )(*args)
-    return df9[:t], dm9[:t], dsT[:t], dr[:t]
+    return df9[:t], dm9[:t], dsT6[:t], dr[:t]

@@ -278,16 +278,17 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         # (n_slots, 18) slab source.
         F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
         M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
-        # [S_9 | R_9^T] (see forces_warp_packed)
-        sr = jnp.concatenate(
-            [mat3.to_trailing(S).reshape(m, 9),
-             mat3.to_trailing(mat3.transpose3(R)).reshape(m, 9)],
-            axis=1,
+        # fused [S_6 | R_9^T] record (see forces_warp_packed)
+        sr15 = jnp.stack(
+            [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
+             R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
+             R[0, 2], R[1, 2], R[2, 2]], axis=-1,
         )
-        sr_slots = jnp.zeros((blk.n_slots, 18), dtype=dtype).at[:m].set(sr)
+        sr_slots = jnp.zeros((blk.n_slots, 15), dtype=dtype).at[:m].set(
+            sr15.reshape(m, 15))
         f = forces_warp_packed(
             blk.restT_rows, blk.restT_slab, blk.vol_slab,
-            F9_rows, M9_rows, sr_slots, vol_rows, blk.gidx4, cfg.h, interpret,
+            F9_rows, M9_rows, sr_slots, vol_rows, blk.gidx8, cfg.h, interpret,
         )
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f.reshape(m, 3))

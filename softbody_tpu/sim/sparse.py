@@ -39,7 +39,7 @@ from .scene import lame_parameters
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "gidx8", "gidx4", "restT_rows", "restT_slab", "mass_slab", "vol_slab",
+        "gidx8", "restT_rows", "restT_slab", "mass_slab", "vol_slab",
     ],
     meta_fields=["tile_start", "rows", "slab_len"],
 )
@@ -53,7 +53,6 @@ class DevBucket:
     """
 
     gidx8: jnp.ndarray       # (t_b, slab/8) packed-row ids (16 f/slot sources)
-    gidx4: jnp.ndarray       # (t_b, slab/4) packed-row ids (32 f/slot sources)
     restT_rows: jnp.ndarray  # (t_b, 3, rows)
     restT_slab: jnp.ndarray  # (t_b, 3, slab)
     mass_slab: jnp.ndarray   # (t_b, slab)
@@ -153,11 +152,8 @@ def build_sparse_scene(
         rs = rest_slots[sl]                                # (t_b, S, 3)
         tid = b.tile_ids.astype(np.int64)                  # contiguous range
         rr = rest_slots[tid[:, None] * rows + np.arange(rows)[None, :]]
-        g2 = b.group_ids.astype(np.int64)
-        gidx4 = np.stack([2 * g2, 2 * g2 + 1], axis=-1).reshape(g2.shape[0], -1)
         return DevBucket(
             gidx8=jnp.asarray(b.group_ids, jnp.int32),
-            gidx4=jnp.asarray(gidx4, jnp.int32),
             restT_rows=jnp.asarray(np.swapaxes(rr, 1, 2), dtype),
             restT_slab=jnp.asarray(np.swapaxes(rs, 1, 2), dtype),
             mass_slab=jnp.asarray(mass[sl], dtype),
@@ -262,19 +258,19 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     else:
         F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
         M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
-        # [S_9 | R_9^T]: R ships transposed so the kernel's matmul extraction
-        # is contiguous (see forces_warp_packed)
-        sr = jnp.concatenate(
-            [mat3.to_trailing(S).reshape(m, 9),
-             mat3.to_trailing(mat3.transpose3(R)).reshape(m, 9)],
-            axis=1,
-        )
-        sr_slots = jnp.zeros((sb.n_slots, 18), dtype=dtype).at[:m].set(sr)
+        # fused per-slot record [S_6 | R_9^T]: S symmetric (6 unique), R
+        # transposed — one 16f-packed gather source (see forces_warp_packed)
+        sr15 = jnp.stack(
+            [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
+             R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
+             R[0, 2], R[1, 2], R[2, 2]], axis=-1,
+        )                                                  # (m, 15)
+        sr_slots = jnp.zeros((sb.n_slots, 15), dtype=dtype).at[:m].set(sr15)
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
                 b.rows_of(F9_rows), b.rows_of(M9_rows), sr_slots,
-                b.rows_of(vol_rows), b.gidx4,
+                b.rows_of(vol_rows), b.gidx8,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))
     f = jnp.concatenate(f_parts, axis=0)

@@ -121,21 +121,20 @@ def main():
         vol_rows = vol_m.reshape(t, rows)
         F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
         M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
-        sr = jnp.concatenate(
-            [mat3.to_trailing(S).reshape(m, 9), mat3.to_trailing(R).reshape(m, 9)],
-            axis=1)
         if not k2_live:
             return p + 1e-30 * (jnp.zeros_like(p).at[:m].set(F9_rows.reshape(m, 9)[:, :3]))
-        sr_slots = jnp.zeros((sb.n_slots, 18), p.dtype).at[:m].set(sr)
-        if not sr_gather_live:
-            sr_slots = jax.lax.stop_gradient(jnp.zeros((sb.n_slots, 18), p.dtype))
+        sr15 = jnp.stack(
+            [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
+             R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
+             R[0, 2], R[1, 2], R[2, 2]], axis=-1)
+        sr_slots = jnp.zeros((sb.n_slots, 15), p.dtype).at[:m].set(sr15)
         f_parts = []
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
                 b.rows_of(F9_rows),
                 b.rows_of(M9_rows), sr_slots,
-                b.rows_of(vol_rows), b.gidx4,
+                b.rows_of(vol_rows), b.gidx8,
                 cfg.h, False, chunks=_chunks_for(b.slab_len),
             ))
         f = jnp.concatenate(f_parts, axis=0)

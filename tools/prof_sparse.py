@@ -139,14 +139,15 @@ def main():
             acc = acc + jnp.sum(g[:, ::64, 0])
         return p + 1e-18 * acc
 
-    # --- S|R slab gather only (gidx4, 32 f/slot)
+    # --- S+R slab gathers (2x 16 f/slot via gidx8)
     def sr_gather_only(p):
-        sr = jnp.concatenate([p, p, p, p, p, p], axis=1)  # (ns, 18)
-        packed = pack(sr, 18, 32, 4)
+        s9 = jnp.concatenate([p, p, p], axis=1)           # (ns, 9)
+        packed = pack(s9, 9, 16, 8)
         acc = 0.0
         for b in sb.buckets:
-            g = gather_packed(packed, b.gidx4, b.slab_len, 32)
-            acc = acc + jnp.sum(g[:, ::64, 0])
+            g = gather_packed(packed, b.gidx8, b.slab_len, 16)
+            g2 = gather_packed(packed, b.gidx8, b.slab_len, 16)
+            acc = acc + jnp.sum(g[:, ::64, 0]) + jnp.sum(g2[:, ::64, 1])
         return p + 1e-18 * acc
 
     # --- K2 warp forces only (fixed cheap F/M/SR derived from p)
@@ -154,16 +155,15 @@ def main():
         pos_rows = p[:m].reshape(t, rows, 3)
         f9_rows = jnp.tile(pos_rows, (1, 1, 3))          # (t, rows, 9)
         m9_rows = f9_rows
-        sr = jnp.concatenate([p, p, p, p, p, p], axis=1)  # (ns, 18)
+        sr15 = jnp.concatenate([p, p, p, p, p], axis=1)   # (ns, 15)
         vol_rows_ = scene.materials.volume[:m].reshape(t, rows)
-        sr_slots = sr
         f_parts = []
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
                 b.rows_of(f9_rows),
-                b.rows_of(m9_rows), sr_slots,
-                b.rows_of(vol_rows_), b.gidx4,
+                b.rows_of(m9_rows), sr15,
+                b.rows_of(vol_rows_), b.gidx8,
                 cfg.h, False, chunks=_chunks_for(b.slab_len),
             ))
         f = jnp.concatenate(f_parts, axis=0)
