@@ -103,13 +103,16 @@ def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
                         pos_slots, gidx8, h, interpret):
     slab = restT_slab.shape[2]
     # 8 f/slot (64-float rows): gather cost is per-ROW, so narrower rows halve
-    # the staged source bytes at the same row count
-    pos_slab8 = gather_packed(pack(pos_slots, 3, 8, 8), gidx8, slab, 8)
+    # staged source bytes; the slab then ships LANE-MAJOR (t, 8, slab) — a
+    # (slab, 8) pallas operand would be retiled with the minor dim padded to
+    # 128 lanes (16x HBM bloat, staged every scan iteration)
+    pos_slabT = jnp.swapaxes(
+        gather_packed(pack(pos_slots, 3, 8, 8), gidx8, slab, 8), 1, 2)
     pos_rows8 = jnp.concatenate(
         [pos_rows, jnp.zeros(pos_rows.shape[:2] + (5,), pos_rows.dtype)], axis=2
     )
     out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_rows8, pos_slab8, h, interpret)
+                               pos_rows8, pos_slabT, h, interpret)
     return out, None
 
 
@@ -128,9 +131,10 @@ def _moments_packed_vjp_bwd(h, interpret, res, cts):
 
     def body(args):
         rr, rs, ms, vs, gi, da_c, dy_c = args
-        dpr_c, dps_c = pk._moments_vjp_bwd(
-            h, interpret, (rr, rs, ms, vs), (da_c, dy_c)
+        dpr_c, dpsT_c = pk._moments_vjp_bwd(
+            h, interpret, (rr, rs, ms, vs, 3), (da_c, dy_c)
         )[4:6]
+        dps_c = jnp.swapaxes(dpsT_c, 1, 2)               # (chunk, slab, 3)
         return scatter_packed_add(dps_c, gi, n_slots, 3, 8, 8), dpr_c
 
     dpos, dpr = _scan_chunks(
@@ -215,20 +219,20 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
 
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
-    sr_slab = gather_packed(pack(sr_slots, 15, 16, 8), gidx8, slab, 16)
-    srT_slab = jnp.swapaxes(sr_slab, 1, 2)              # (t, 16, slab), XLA-side
+    srT_slab = jnp.swapaxes(
+        gather_packed(pack(sr_slots, 15, 16, 8), gidx8, slab, 16), 1, 2)
     kernel = pk._batched(
         functools.partial(pk._forces_warp_kernel_v2, h=h,
-                          chunks=chunks or pk._WARP_CHUNKS), 9)
+                          chunks=chunks or pk._WARP_CHUNKS), 8)
     args, t_pad = pk._pad_tiles(
         [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
-         sr_slab, srT_slab, vol_rows[:, :, None]], t)
+         srT_slab, vol_rows[:, :, None]], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
-            (slab, 16), (16, slab), (rows, 1),
+            (16, slab), (rows, 1),
         ]),
         out_specs=pk._tile_specs([(rows, 3)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
@@ -259,12 +263,12 @@ def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
         # backward needs the lane-major slab: regather (packed, chunked) + XLA
         # transpose — backward pays the relayout, forward stays bandwidth-fast
         srT = jnp.swapaxes(gather_packed(sr_packed, gi, slab, 16), 1, 2)
-        df9_c, dm9_c, dsT6_c, dr_c = pk._forces_warp_bwd_impl(
+        df9_c, dm9_c, dsT6_c, drT_c = pk._forces_warp_bwd_impl(
             rr, rs, vs, f9_c, srT, vr, df_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
         )
-        dsr_c = jnp.concatenate(
-            [jnp.swapaxes(dsT6_c, 1, 2), dr_c], axis=-1)   # (chunk, slab, 15)
+        dsr_c = jnp.swapaxes(
+            jnp.concatenate([dsT6_c, drT_c], axis=1), 1, 2)  # (chunk, slab, 15)
         return scatter_packed_add(dsr_c, gi, n_slots, 15, 16, 8), (df9_c, dm9_c)
 
     dsr_slots, (df9, dm9) = _scan_chunks(

@@ -151,6 +151,16 @@ def _dot(a, b):
     )
 
 
+def _dot_t(a, bT):
+    """(m, S) @ (n, S)^T -> (m, n): transposed-RHS matmul (contract lanes of
+    both).  Mosaic lowers this natively — it lets slab operands stay
+    lane-major (minor dim = slab), avoiding the 8-16x HBM retiling that
+    (slab, n<128)-shaped pallas operands pay."""
+    return jax.lax.dot_general(
+        a, bT, (((1,), (1,)), ((), ())), preferred_element_type=a.dtype
+    )
+
+
 def _dot_rows(a, b):
     """Contract the ROWS axis: (rows, S) x (rows, F) -> (S, F)."""
     return jax.lax.dot_general(
@@ -174,21 +184,21 @@ def _cols(mat9, b):
 
 # ============================================================ moments (K1)
 def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                    pos_rows_ref, pos_slab_ref, a_ref, y_ref, *, h):
+                    pos_rows_ref, pos_slabT_ref, a_ref, y_ref, *, h):
     rr = restT_rows_ref[0]          # (3, rows)
     rs = restT_slab_ref[0]          # (3, slab)
     dx, w, gfac = _pair_coeffs(rr, rs, h)
     cA = w * mass_slab_ref[0]       # (rows, slab)
     gv = gfac * vol_slab_ref[0]
-    pos_slab = pos_slab_ref[0]      # (slab, 3)
-    pos_rows = pos_rows_ref[0]      # (rows, 3)
-    rows = rr.shape[1]
+    pos_slabT = pos_slabT_ref[0]    # (pw, slab) LANE-MAJOR: a (slab, pw<128)
+    pos_rows = pos_rows_ref[0]      # operand would be retiled by XLA with the
+    rows = rr.shape[1]              # minor dim padded to 128 lanes (16x bloat)
 
     # one big LHS: [C0; C1; C2; D0; D1; D2] (6 rows, slab)
     lhs = jnp.concatenate(
         [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
     )
-    dots = _dot(lhs, pos_slab)                       # (6 rows, 3)
+    dots = _dot_t(lhs, pos_slabT)                    # (6 rows, pw)
     rowsum = jnp.sum(lhs, axis=1, keepdims=True)     # (6 rows, 1)
     corr = dots - jnp.concatenate([pos_rows] * 6, axis=0) * rowsum
     # TRANSPOSED trailing layout: out[r, 3b+a] = corr[b*rows + r, a].  Emitting
@@ -222,8 +232,9 @@ def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_
         [da[:, 3 * b:3 * b + 3] for b in range(3)]
         + [dy[:, 3 * b:3 * b + 3] for b in range(3)], axis=0
     )                                                # (6 rows, 3)
-    # d pos_slab = sum over the 6 stacked blocks of LHS_blk^T @ ct_blk
-    dps_ref[0] = _dot_rows(lhs, cts)
+    # d pos_slabT = ct^T @ LHS summed over the 6 stacked blocks (lane-major
+    # (3, slab) output: a (slab, 3) pallas output would be retiled 42x)
+    dps_ref[0] = _dot_rows(cts, lhs)
     # d pos_rows = -sum_blk rowsum(LHS_blk) * ct_blk
     rowsum = jnp.sum(lhs, axis=1, keepdims=True)
     dpr = None
@@ -242,21 +253,22 @@ def moments_pallas(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos_sl
                              pos_rows, pos_slab, h, interpret)
 
 
-def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos_slab,
-                      h, interpret):
+def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+                      pos_slabT, h, interpret):
+    """pos_slabT: (t, pw, slab) lane-major dynamic positions."""
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
-    pw = pos_rows.shape[-1]   # 3, or 16 when packed-row gathered
+    pw = pos_slabT.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
     kernel = _batched(functools.partial(_moments_kernel, h=h), 8)
     args, t_pad = _pad_tiles(
         [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
-         pos_rows, pos_slab], t)
+         pos_rows, pos_slabT], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (rows, pw), (slab, pw),
+            (3, rows), (3, slab), (1, slab), (1, slab), (rows, pw), (pw, slab),
         ]),
         out_specs=_tile_specs([(rows, 9), (rows, 9)]),
         out_shape=[
@@ -268,15 +280,16 @@ def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos
     return tuple(o[:t] for o in out)
 
 
-def _moments_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos_slab,
-                     h, interpret):
+def _moments_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+                     pos_slabT, h, interpret):
     out = _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                            pos_rows, pos_slab, h, interpret)
-    return out, (restT_rows, restT_slab, mass_slab, vol_slab)
+                            pos_rows, pos_slabT, h, interpret)
+    return out, (restT_rows, restT_slab, mass_slab, vol_slab,
+                 pos_slabT.shape[1])
 
 
 def _moments_vjp_bwd(h, interpret, res, cts):
-    restT_rows, restT_slab, mass_slab, vol_slab = res
+    restT_rows, restT_slab, mass_slab, vol_slab, pw = res
     da, dy = cts
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
@@ -290,14 +303,18 @@ def _moments_vjp_bwd(h, interpret, res, cts):
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (1, slab), (rows, 9), (rows, 9),
         ]),
-        out_specs=_tile_specs([(rows, 3), (slab, 3)]),
+        out_specs=_tile_specs([(rows, 3), (3, slab)]),
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, rows, 3), da.dtype),
-            jax.ShapeDtypeStruct((t_pad, slab, 3), da.dtype),
+            jax.ShapeDtypeStruct((t_pad, 3, slab), da.dtype),
         ],
         interpret=interpret,
     )(*args)
-    return (None, None, None, None, dpr[:t], dps[:t])
+    dps = dps[:t]
+    if pw > 3:   # cotangent wrt the (t, pw, slab) lane-major operand
+        dps = jnp.concatenate(
+            [dps, jnp.zeros((t, pw - 3, slab), dps.dtype)], axis=1)
+    return (None, None, None, None, dpr[:t], dps)
 
 
 moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
@@ -436,16 +453,17 @@ _SYM6 = (0, 1, 2, 1, 3, 4, 2, 4, 5)
 
 
 def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
-                           m9_ref, sr_ref, srT_ref, vol_rows_ref,
+                           m9_ref, srT_ref, vol_rows_ref,
                            f_ref, *, h, chunks):
     """Warp pairing (sim.py:227-234): f_i = V_i/2 (sum_j R_j f_ij + M_i sum_j V_j nw).
 
-    sr_ref  (1, slab, 16): [S_6 | R_9^T | pad] per slot — matmul RHS; per
-            c-block the output columns 6+3c..8+3c are the CONTIGUOUS slice
-            sum_s u_c V_j R_j[a, c], a = 0..2.
-    srT_ref (1, 16, slab): the same slab transposed OUTSIDE the kernel by XLA
-            (an in-kernel (L, 16) -> (16, L) relayout measured ~0.3 us/tile);
-            rows 0..5 are the S lane vectors.
+    srT_ref (1, 16, slab): the fused [S_6 | R_9^T | pad] slab LANE-MAJOR
+    (transposed outside the kernel by XLA): rows 0..5 are the S lane vectors,
+    rows 6..14 R^T.  It is the ONLY dynamic slab operand — the matmul runs as
+    a transposed-RHS dot against the same array (per c-block the output
+    columns 6+3c..8+3c are the contiguous slice sum_s u_c V_j R_j[a, c]).
+    A (slab, 16)-shaped operand would be retiled by XLA with the minor dim
+    padded to 128 lanes — an 8x HBM bloat staged every scan iteration.
     Volume V_j is folded into gfac once (nw carries it through z/u/svnw).
     """
     rr = restT_rows_ref[0]
@@ -470,7 +488,7 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
             [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
              for c in range(3)], axis=0,
         )                                                   # (3 rows, L)
-        dots = _dot(u_stack, sr_ref[0, k * L:(k + 1) * L, :])  # (3 rows, 16)
+        dots = _dot_t(u_stack, sT)                          # (3 rows, 16)
         for c in range(3):
             termj = termj + dots[c * rows:(c + 1) * rows, 6 + 3 * c:9 + 3 * c]
         for b in range(3):
@@ -484,14 +502,15 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
 
 def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
                                f9_ref, srT_ref, vol_rows_ref, df_ref,
-                               df9_ref, dm9_ref, dsT6_ref, dr_ref, *, h, chunks):
+                               df9_ref, dm9_ref, dsT6_ref, drT_ref, *, h, chunks):
     """Backward of :func:`_forces_warp_kernel_v2`.
 
-    srT (1, 16, slab) as in the forward.  Outputs: dsT6 (1, 6, slab) — the S
-    cotangent lane-major (off-diagonals accumulate both (d, b) and (b, d)
-    uses of the symmetric parameterization); dr (1, slab, 9) — the R^T
-    cotangent in the forward's column order.  The caller assembles the fused
-    [S_6 | R_9^T | pad] record in XLA (transposes there run at HBM speed).
+    srT (1, 16, slab) as in the forward.  Outputs (both LANE-MAJOR — small-
+    minor pallas outputs pay the same retiling bloat as inputs): dsT6
+    (1, 6, slab) — the S cotangent (off-diagonals accumulate both (d, b) and
+    (b, d) uses of the symmetric parameterization); drT (1, 9, slab) — the
+    R^T cotangent in the forward's row order.  The caller assembles the fused
+    [S_6 | R_9^T] record in XLA (transposes there run at HBM speed).
     """
     rr = restT_rows_ref[0]
     f9 = f9_ref[0]
@@ -520,9 +539,9 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
         )
         wprime = []
         for c in range(3):
-            # dR^T[s, 3c+a] = sum_r u_c[r, s] df[r, a] (u carries V_j)
-            contrib = _dot_rows(u_stack[c * rows:(c + 1) * rows], df)   # (L, 3)
-            dr_ref[0, k * L:(k + 1) * L, 3 * c:3 * c + 3] = contrib
+            # dR^T[3c+a][s] = sum_r df[r, a] u_c[r, s] (u carries V_j)
+            contrib = _dot_rows(df, u_stack[c * rows:(c + 1) * rows])   # (3, L)
+            drT_ref[0, 3 * c:3 * c + 3, k * L:(k + 1) * L] = contrib
             # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]; srT rows 6+3c+a
             wprime.append(
                 sum(df[:, a: a + 1] * sT[6 + 3 * c + a][None, :] for a in range(3))
@@ -562,20 +581,20 @@ def _forces_warp_bwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, srT_slab,
     args, t_pad = _pad_tiles(
         [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, srT_slab,
          vol_rows[:, :, None], df], t)
-    df9, dm9, dsT6, dr = pl.pallas_call(
+    df9, dm9, dsT6, drT = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
             (3, rows), (3, slab), (1, slab), (rows, 9),
             (16, slab), (rows, 1), (rows, 3),
         ]),
-        out_specs=_tile_specs([(rows, 9), (rows, 9), (6, slab), (slab, 9)]),
+        out_specs=_tile_specs([(rows, 9), (rows, 9), (6, slab), (9, slab)]),
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
             jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
             jax.ShapeDtypeStruct((t_pad, 6, slab), df.dtype),
-            jax.ShapeDtypeStruct((t_pad, slab, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, 9, slab), df.dtype),
         ],
         interpret=interpret,
     )(*args)
-    return df9[:t], dm9[:t], dsT6[:t], dr[:t]
+    return df9[:t], dm9[:t], dsT6[:t], drT[:t]

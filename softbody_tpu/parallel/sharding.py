@@ -51,7 +51,16 @@ def shard_scene(scene: Scene, mesh: Mesh) -> Scene:
     """Place every per-particle leaf with particle sharding.
 
     Requires N to be a multiple of the mesh size — use :func:`pad_scene` first.
+    Gather-backend scenes only; blocked/sparse scenes shard by column groups
+    (see sim/sparse.py docs) and are rejected with a typed error rather than
+    silently dropping fields.  Every ``Scene`` field is handled explicitly.
     """
+    if scene.blocked is not None:
+        raise NotImplementedError(
+            "shard_scene handles gather-backend scenes; blocked/sparse scenes "
+            "shard by column groups — build per-shard scenes with "
+            "parallel.halo / build_sparse_scene instead"
+        )
     n = scene.rest_position.shape[0]
     n_dev = mesh.devices.size
     if n % n_dev != 0:
@@ -60,11 +69,23 @@ def shard_scene(scene: Scene, mesh: Mesh) -> Scene:
     def put(leaf):
         return shard_leaf(leaf, mesh)
 
+    # rest_corr on gather scenes is (3, 3, m): particle axis LAST
+    rest_corr = scene.rest_corr
+    if rest_corr is not None:
+        rest_corr = jax.device_put(
+            rest_corr, NamedSharding(mesh, P(None, None, AXIS)))
     return Scene(
         rest_position=put(scene.rest_position),
         materials=jax.tree.map(put, scene.materials),
         topology=jax.tree.map(put, scene.topology),
         out_num=scene.out_num,
+        blocked=None,
+        rest_corr=rest_corr,
+        slot_of_particle=(None if scene.slot_of_particle is None
+                          else put(scene.slot_of_particle)),
+        # obstacle SDFs are small per-scene constants: replicate
+        obstacles=(None if scene.obstacles is None else jax.tree.map(
+            lambda a: jax.device_put(a, replicated(mesh)), scene.obstacles)),
     )
 
 
@@ -77,6 +98,11 @@ def pad_scene(scene: Scene, multiple: int, cfg: SimConfig):
     Loss parity with the unpadded scene needs matching padded targets —
     :func:`pad_targets`.
     """
+    if scene.blocked is not None:
+        raise NotImplementedError(
+            "pad_scene handles gather-backend scenes; blocked/sparse slot "
+            "spaces are already padded to tile multiples at build time"
+        )
     n = scene.rest_position.shape[0]
     pad = (-n) % multiple
     if pad == 0:
@@ -112,7 +138,8 @@ def pad_scene(scene: Scene, multiple: int, cfg: SimConfig):
         rest_corr=cat(t.rest_corr, 0.0, (3, 3)),
         sum_v_nw=cat(t.sum_v_nw, 0.0, (3,)),
     )
-    return Scene(rest, mats, topo, scene.out_num), n
+    return Scene(rest, mats, topo, scene.out_num,
+                 obstacles=scene.obstacles), n
 
 
 def pad_targets(target_p, target_v, padded_scene: Scene, n_orig: int, cfg: SimConfig):
