@@ -226,11 +226,15 @@ def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_
     lhs = jnp.concatenate(
         [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
     )
-    # cotangents arrive in the kernel's transposed [3b+a] layout: each b-block
-    # is the contiguous slice [:, 3b:3b+3]
+    # cotangents arrive in the kernel's transposed [3b+a] layout.  NB: blocks
+    # must be re-laid out per column — concatenating the [:, 3b:3b+3] slices
+    # directly leaves nonzero lane offsets that Mosaic's concat rejects
+    # ("offset mismatch on non-concat dimension", real-TPU lowering only).
     cts = jnp.concatenate(
-        [da[:, 3 * b:3 * b + 3] for b in range(3)]
-        + [dy[:, 3 * b:3 * b + 3] for b in range(3)], axis=0
+        [jnp.stack([da[:, 3 * b + a] for a in range(3)], axis=1)
+         for b in range(3)]
+        + [jnp.stack([dy[:, 3 * b + a] for a in range(3)], axis=1)
+         for b in range(3)], axis=0
     )                                                # (6 rows, 3)
     # d pos_slabT = ct^T @ LHS summed over the 6 stacked blocks (lane-major
     # (3, slab) output: a (slab, 3) pallas output would be retiled 42x)

@@ -89,6 +89,7 @@ def test_rollout_and_loss_match_gather(preset):
     )
 
 
+@pytest.mark.slow
 def test_gradient_matches_gather():
     pts, out_num = inflatable_sphere(n_outer=48, radius=0.05)
     cfg = warp_parity().replace(

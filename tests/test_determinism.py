@@ -4,6 +4,7 @@ reductions — identical inputs must give bit-identical trajectories and
 gradients, run to run."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
 from softbody_tpu.sim.rollout import loss_fn
 
 
+@pytest.mark.slow
 def test_bitwise_reproducible_rollout_and_grad():
     pts, out_num = inflatable_sphere(n_outer=64, radius=0.05)
     mask = np.ones((len(pts), 3))

@@ -85,6 +85,7 @@ from softbody_tpu.parallel.halo import elastic_forces_halo
 
 
 @pytest.mark.parametrize("preset", [warp_parity, taichi_parity])
+@pytest.mark.slow
 def test_halo_elastic_forces_match_dense(preset):
     pts, _ = inflatable_sphere(n_outer=96, radius=0.05)
     pts = pts[: len(pts) - (len(pts) % D)]
@@ -115,6 +116,7 @@ def test_halo_elastic_forces_match_dense(preset):
     )
 
 
+@pytest.mark.slow
 def test_halo_rollout_matches_dense():
     from softbody_tpu.parallel.halo import halo_rollout
     from softbody_tpu import rollout as dense_rollout

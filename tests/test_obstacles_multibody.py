@@ -135,6 +135,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(st2.elastic_forces), 2.0)
 
 
+@pytest.mark.slow
 def test_obstacles_on_blocked_backend_match_gather():
     from softbody_tpu.sim.blocked import build_blocked_scene
 

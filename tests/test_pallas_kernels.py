@@ -52,6 +52,7 @@ def test_pallas_forces_match_blocked(preset):
 
 
 @pytest.mark.parametrize("preset", [warp_parity, taichi_parity])
+@pytest.mark.slow
 def test_pallas_rollout_matches_blocked(preset):
     pts, cfg, scene, sop = setup(preset)
     ns = scene.rest_position.shape[0]
@@ -69,6 +70,7 @@ def test_pallas_rollout_matches_blocked(preset):
 
 
 @pytest.mark.parametrize("preset", [warp_parity, taichi_parity])
+@pytest.mark.slow
 def test_pallas_gradient_matches_blocked(preset):
     # Needs real strain in the episode (starting from rest, StVK stress AND its
     # x-gradient vanish; uniform v0 alone is a rigid translation): clamp the top

@@ -2,6 +2,7 @@
 sharding must be numerically transparent — same loss, same gradient."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_padding_is_loss_transparent():
     np.testing.assert_allclose(l1, l0, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     pts, cfg, scene, x, tp, tv = setup()
 

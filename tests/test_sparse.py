@@ -73,6 +73,7 @@ def test_forces_match_blocked(body, mode):
 
 
 @pytest.mark.parametrize("mode", ["i", "j"])
+@pytest.mark.slow
 def test_force_vjp_matches_blocked(body, mode):
     """Backward parity: VJP of the elastic forces wrt (positions, ratio-field
     x) against the autodiff'd dense blocked path, with a random cotangent."""
