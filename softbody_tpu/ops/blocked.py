@@ -33,7 +33,7 @@ from ..topology.blocks import SlotLayout, build_slot_layout
     jax.tree_util.register_dataclass,
     data_fields=[
         "tile_start", "slab_start", "rest_slab", "vol_slab", "mass_slab",
-        "rest_rows", "restT_rows", "restT_slab", "gidx8", "gidx4",
+        "rest_rows", "restT_rows", "restT_slab", "gidx8", "gidx4", "rs6",
     ],
     meta_fields=["rows", "slab_len", "run_len", "n_tiles", "n_slots"],
 )
@@ -51,6 +51,7 @@ class Blocked:
     restT_slab: jnp.ndarray   # (n_tiles, 3, slab) transposed
     gidx8: jnp.ndarray        # (n_tiles, slab/8)  packed-row indices (pos/G, 16f/slot)
     gidx4: jnp.ndarray        # (n_tiles, slab/4)  packed-row indices (S|R, 32f/slot)
+    rs6: jnp.ndarray | None   # (n_tiles*rows, 6) static moment row sums (build-time)
     rows: int                 # tz * C slot rows per tile
     slab_len: int             # 9 * run_len
     run_len: int

@@ -70,11 +70,87 @@ def pack(arr, width, pad_width, group):
     return padded.reshape(n // group, group * pad_width)
 
 
+def pack_components(comps, pad_width, group, n_total=None):
+    """Build a packed (n/group, group*pad_width) gather source directly from
+    per-field (n,) component arrays.
+
+    jnp.stack(comps, -1) -> pack() writes the (n, pad_width) intermediate with
+    its minor dim padded to 128 lanes, one strided pass per component
+    (measured ~1.6 ms for 19 components at m=120k).  Stacking along axis 0
+    keeps every write compact; one transpose then emits the packed rows in a
+    single bandwidth-bound pass."""
+    n = comps[0].shape[0]
+    dtype = comps[0].dtype
+    zero = jnp.zeros((n,), dtype)
+    full = list(comps) + [zero] * (pad_width - len(comps))
+    x = jnp.stack(full, axis=0)                  # (pad_width, n) compact
+    x = jax.lax.optimization_barrier(x)
+    if n_total is not None and n_total > n:
+        x = jnp.pad(x, ((0, 0), (0, n_total - n)))
+        n = n_total
+    x = x.reshape(pad_width, n // group, group)
+    return jnp.transpose(x, (1, 2, 0)).reshape(n // group, group * pad_width)
+
+
+def rows_from_components(comps, t, rows):
+    """(m,) component arrays -> (t, rows, k) pallas operand via ONE transpose
+    pass (jnp.stack(comps, -1).reshape(...) concatenates into the 128-lane-
+    padded layout one strided pass per component)."""
+    x = jnp.stack(comps, axis=0)                 # (k, m) compact
+    # barrier pins the compact row-major stack: without it XLA's layout
+    # assignment propagates the consumer's layout into the stack and turns
+    # this into one strided relayout PER COMPONENT (measured 19 x 0.18 ms)
+    x = jax.lax.optimization_barrier(x)
+    return jnp.transpose(x.reshape(len(comps), t, rows), (1, 2, 0))
+
+
 def gather_packed(packed, gidx, slab, pad_width):
     """(rows, 128) packed source + (t, slab/group) group rows -> (t, slab, pad_width)."""
     t = gidx.shape[0]
     rows = jnp.take(packed, gidx.reshape(-1), axis=0)
     return rows.reshape(t, slab, pad_width)
+
+
+def gather_packed_T(packed, gidx, slab, pad_width):
+    """Like :func:`gather_packed` but LANE-MAJOR: (t, pad_width, slab).
+
+    Goes through (t, G, slots, fields) -> permute -> (t, pad_width, slab):
+    reshaping the gather output to (t, slab, pad_width) and transposing
+    materializes a 128-lane-padded intermediate (measured 5x slower)."""
+    t, G = gidx.shape
+    group = slab // G
+    rows = jnp.take(packed, gidx.reshape(-1), axis=0)
+    x = rows.reshape(t, G, group, pad_width)
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(t, pad_width, slab)
+
+
+def scatter_packed_add_T(cotT, gidx, n_slots, width, pad_width, group):
+    """Transpose of gather_packed_T: (t, width, slab) lane-major cotangent ->
+    (n_slots, width), avoiding the 128-lane-padded (t, slab, width) form."""
+    t, _, slab = cotT.shape
+    G = slab // group
+    if pad_width > width:
+        cotT = jnp.concatenate(
+            [cotT, jnp.zeros((t, pad_width - width, slab), cotT.dtype)], axis=1)
+    x = cotT.reshape(t, pad_width, G, group)
+    rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(t * G, group * pad_width)
+    out = jnp.zeros((n_slots // group, group * pad_width), cotT.dtype)
+    out = out.at[gidx.reshape(-1)].add(rows)
+    return out.reshape(n_slots, pad_width)[:, :width]
+
+
+def scatter_packed_raw_T(cotT, gidx, n_rows_src, pad_width, group):
+    """Like scatter_packed_add_T but returns the PACKED (n_rows_src,
+    group*pad_width) cotangent directly (for packed-source operands)."""
+    t, width, slab = cotT.shape
+    G = slab // group
+    if pad_width > width:
+        cotT = jnp.concatenate(
+            [cotT, jnp.zeros((t, pad_width - width, slab), cotT.dtype)], axis=1)
+    x = cotT.reshape(t, pad_width, G, group)
+    rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(t * G, group * pad_width)
+    out = jnp.zeros((n_rows_src, group * pad_width), cotT.dtype)
+    return out.at[gidx.reshape(-1)].add(rows)
 
 
 def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
@@ -91,57 +167,59 @@ def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
 
 
 # --------------------------------------------------------------------- moments
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def moments_packed(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def moments_packed(restT_rows, restT_slab, mass_slab, vol_slab,
                    pos_slots, gidx8, h, interpret=False):
-    """A_pq, Y moments with packed-row slab gather.  pos_slots: (n_slots, 3)."""
+    """Raw A/Y moment dots with packed-row slab gather: (t, rows, 18) fused
+    [A | Y] in the transposed [3b+a] layout.  pos_slots: (n_slots, 3).
+    Callers subtract the static-rowsum correction (pos_i x rest row sums) in
+    XLA — see elastic_forces_sparse."""
     return _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_rows, pos_slots, gidx8, h, interpret)[0]
+                               pos_slots, gidx8, h, interpret)[0]
 
 
-def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
                         pos_slots, gidx8, h, interpret):
     slab = restT_slab.shape[2]
     # 8 f/slot (64-float rows): gather cost is per-ROW, so narrower rows halve
     # staged source bytes; the slab then ships LANE-MAJOR (t, 8, slab) — a
     # (slab, 8) pallas operand would be retiled with the minor dim padded to
     # 128 lanes (16x HBM bloat, staged every scan iteration)
-    pos_slabT = jnp.swapaxes(
-        gather_packed(pack(pos_slots, 3, 8, 8), gidx8, slab, 8), 1, 2)
-    pos_rows8 = jnp.concatenate(
-        [pos_rows, jnp.zeros(pos_rows.shape[:2] + (5,), pos_rows.dtype)], axis=2
-    )
+    pos_slabT = gather_packed_T(
+        pack_components([pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]],
+                        8, 8), gidx8, slab, 8)
     out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_rows8, pos_slabT, h, interpret)
+                               pos_slabT, h, interpret)
     return out, None
 
 
-def _moments_packed_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+def _moments_packed_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
                             pos_slots, gidx8, h, interpret):
     out, _ = _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                                 pos_rows, pos_slots, gidx8, h, interpret)
+                                 pos_slots, gidx8, h, interpret)
     return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
                  pos_slots.shape[0])
 
 
-def _moments_packed_vjp_bwd(h, interpret, res, cts):
+def _moments_packed_vjp_bwd(h, interpret, res, day):
     restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_slots = res
-    da, dy = cts
+    slab = restT_slab.shape[2]
     t = restT_rows.shape[0]
 
     def body(args):
-        rr, rs, ms, vs, gi, da_c, dy_c = args
-        dpr_c, dpsT_c = pk._moments_vjp_bwd(
-            h, interpret, (rr, rs, ms, vs, 3), (da_c, dy_c)
-        )[4:6]
-        dps_c = jnp.swapaxes(dpsT_c, 1, 2)               # (chunk, slab, 3)
-        return scatter_packed_add(dps_c, gi, n_slots, 3, 8, 8), dpr_c
+        rr, rs, ms, vs, gi, day_c = args
+        dpsT_c = pk._moments_vjp_bwd(
+            h, interpret, (rr, rs, ms, vs, 3), day_c
+        )[4]
+        # outs leaves need a leading chunk dim for _scan_chunks' restacking
+        return (scatter_packed_add_T(dpsT_c, gi, n_slots, 3, 8, 8),
+                jnp.zeros((day_c.shape[0],), day_c.dtype))
 
-    dpos, dpr = _scan_chunks(
-        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, da, dy), t,
-        jnp.zeros((n_slots, 3), da.dtype),
+    dpos, _ = _scan_chunks(
+        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, day), t,
+        jnp.zeros((n_slots, 3), day.dtype),
     )
-    return (None, None, None, None, dpr, dpos, None)
+    return (None, None, None, None, dpos, None)
 
 
 moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
@@ -192,91 +270,82 @@ forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
 
 
 # --------------------------------------------------------------------- forces (warp)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def forces_warp_packed(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                       sr_slots, vol_rows, gidx8, h, interpret=False,
-                       chunks=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def forces_warp_packed(restT_rows, restT_slab, vol_slab, fm_rows,
+                       sr_packed, gidx8, h, interpret=False, chunks=None):
     """Warp-mode forces.
 
-    sr_slots (n_slots, 15): fused per-slot record [S_6 | R_9^T]:
+    fm_rows (t, rows, 19): fused per-row operand [F_9 | M_9 | V_i] (each
+    separate (rows, k<128) pallas operand pays its own 128-lane retiling +
+    per-iteration staging).
+    sr_packed (n_slots/8, 128): 16f/slot packed gather source of the fused
+    per-slot record [S_6 | R_9^T | pad] (build with pack_components):
       S symmetric as [s00 s01 s02 s11 s12 s22] (kernels remap via _SYM6);
       R transposed ([3c+a] = R[a, c]) so matmul extraction is contiguous.
-    One 16f-padded packed source -> ONE gather via gidx8 (each distinct gather
-    source costs a full per-iteration staging copy inside the scan: measured
-    ~0.7 ms per 7.7MB source at 100k).  The slab also ships pre-transposed by
-    XLA (in-kernel Mosaic relayout is ~0.3 us/tile).
+    ONE gather via gidx8; the slab ships pre-transposed by XLA and the
+    in-kernel matmul runs against it directly.
     """
-    return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                   m9_rows, sr_slots, vol_rows, gidx8, h,
-                                   interpret, chunks)
+    return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+                                   sr_packed, gidx8, h, interpret, chunks)
 
 
-def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows, m9_rows,
-                            sr_slots, vol_rows, gidx8, h, interpret,
-                            chunks=None):
+def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+                            sr_packed, gidx8, h, interpret, chunks=None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
-    srT_slab = jnp.swapaxes(
-        gather_packed(pack(sr_slots, 15, 16, 8), gidx8, slab, 16), 1, 2)
+    srT_slab = gather_packed_T(sr_packed, gidx8, slab, 16)
     kernel = pk._batched(
         functools.partial(pk._forces_warp_kernel_v2, h=h,
-                          chunks=chunks or pk._WARP_CHUNKS), 8)
+                          chunks=chunks or pk._WARP_CHUNKS), 6)
     args, t_pad = pk._pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, m9_rows,
-         srT_slab, vol_rows[:, :, None]], t)
+        [restT_rows, restT_slab, vol_slab[:, None, :], fm_rows, srT_slab], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 9), (rows, 9),
-            (16, slab), (rows, 1),
+            (3, rows), (3, slab), (1, slab), (rows, 19), (16, slab),
         ]),
         out_specs=pk._tile_specs([(rows, 3)])[0],
-        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), f9_rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), fm_rows.dtype),
         interpret=interpret,
     )(*args)
     return out[:t]
 
 
-def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                m9_rows, sr_slots, vol_rows, gidx8, h,
-                                interpret, chunks=None):
-    out = _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, f9_rows,
-                                  m9_rows, sr_slots, vol_rows, gidx8, h,
-                                  interpret, chunks)
-    return out, (restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows,
-                 gidx8)
+def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+                                sr_packed, gidx8, h, interpret, chunks=None):
+    out = _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+                                  sr_packed, gidx8, h, interpret, chunks)
+    return out, (restT_rows, restT_slab, vol_slab, fm_rows, sr_packed, gidx8)
 
 
 def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
-    restT_rows, restT_slab, vol_slab, f9_rows, sr_slots, vol_rows, gidx8 = res
+    restT_rows, restT_slab, vol_slab, fm_rows, sr_packed, gidx8 = res
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
-    n_slots = sr_slots.shape[0]
-    sr_packed = pack(sr_slots, 15, 16, 8)
+    n_rows_src = sr_packed.shape[0]
 
     def body(args):
-        rr, rs, vs, f9_c, vr, gi, df_c = args
-        # backward needs the lane-major slab: regather (packed, chunked) + XLA
-        # transpose — backward pays the relayout, forward stays bandwidth-fast
-        srT = jnp.swapaxes(gather_packed(sr_packed, gi, slab, 16), 1, 2)
-        df9_c, dm9_c, dsT6_c, drT_c = pk._forces_warp_bwd_impl(
-            rr, rs, vs, f9_c, srT, vr, df_c, h, interpret,
+        rr, rs, vs, fm_c, gi, df_c = args
+        # the backward kernel needs the lane-major slab: regather (packed,
+        # chunked) + XLA transpose — backward pays the relayout, forward
+        # stays bandwidth-fast
+        srT = gather_packed_T(sr_packed, gi, slab, 16)
+        dfm_c, dsT6_c, drT_c = pk._forces_warp_bwd_impl(
+            rr, rs, vs, fm_c, srT, df_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
         )
-        dsr_c = jnp.swapaxes(
-            jnp.concatenate([dsT6_c, drT_c], axis=1), 1, 2)  # (chunk, slab, 15)
-        return scatter_packed_add(dsr_c, gi, n_slots, 15, 16, 8), (df9_c, dm9_c)
+        dsrT_c = jnp.concatenate([dsT6_c, drT_c], axis=1)   # (chunk, 15, slab)
+        return scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8), dfm_c
 
-    dsr_slots, (df9, dm9) = _scan_chunks(
-        body,
-        (restT_rows, restT_slab, vol_slab, f9_rows, vol_rows, gidx8, df), t,
-        jnp.zeros((n_slots, 15), df.dtype),
+    dsr_packed, dfm = _scan_chunks(
+        body, (restT_rows, restT_slab, vol_slab, fm_rows, gidx8, df), t,
+        jnp.zeros((n_rows_src, 128), df.dtype),
     )
-    return (None, None, None, df9, dm9, dsr_slots, None, None)
+    return (None, None, None, dfm, dsr_packed, None)
 
 
 forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)

@@ -184,141 +184,122 @@ def _cols(mat9, b):
 
 # ============================================================ moments (K1)
 def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                    pos_rows_ref, pos_slabT_ref, a_ref, y_ref, *, h):
+                    pos_slabT_ref, ay_ref, *, h):
+    """RAW moment dots, fused output ay (rows, 18) = [A-part 9 | Y-part 9] in
+    the transposed [3b+a] trailing layout.
+
+    The -pos_i * rowsum correction term uses STATIC (rest-only) row sums, so
+    it lives in XLA (see moments_packed): the kernel needs no pos_rows operand
+    — every (rows, k<128) pallas operand is retiled by XLA with the minor dim
+    padded to 128 lanes (14-42x HBM bloat, staged per scan iteration).
+    """
     rr = restT_rows_ref[0]          # (3, rows)
     rs = restT_slab_ref[0]          # (3, slab)
     dx, w, gfac = _pair_coeffs(rr, rs, h)
     cA = w * mass_slab_ref[0]       # (rows, slab)
     gv = gfac * vol_slab_ref[0]
-    pos_slabT = pos_slabT_ref[0]    # (pw, slab) LANE-MAJOR: a (slab, pw<128)
-    pos_rows = pos_rows_ref[0]      # operand would be retiled by XLA with the
-    rows = rr.shape[1]              # minor dim padded to 128 lanes (16x bloat)
+    pos_slabT = pos_slabT_ref[0]    # (pw, slab) LANE-MAJOR dynamic positions
+    rows = rr.shape[1]
 
     # one big LHS: [C0; C1; C2; D0; D1; D2] (6 rows, slab)
     lhs = jnp.concatenate(
         [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
     )
     dots = _dot_t(lhs, pos_slabT)                    # (6 rows, pw)
-    rowsum = jnp.sum(lhs, axis=1, keepdims=True)     # (6 rows, 1)
-    corr = dots - jnp.concatenate([pos_rows] * 6, axis=0) * rowsum
-    # TRANSPOSED trailing layout: out[r, 3b+a] = corr[b*rows + r, a].  Emitting
-    # [3b+a] keeps each b-block a CONTIGUOUS (rows, 3) slice (the [3a+b] order
-    # needs 9 strided column stacks — measured expensive in-kernel); consumers
-    # relabel with the free lane-packed mat3.transpose3.
-    a_ref[0] = jnp.concatenate(
-        [corr[b * rows:(b + 1) * rows, :3] for b in range(3)], axis=1,
-    )
-    y_ref[0] = jnp.concatenate(
-        [corr[(3 + b) * rows:(4 + b) * rows, :3] for b in range(3)], axis=1,
+    ay_ref[0] = jnp.concatenate(
+        [dots[b * rows:(b + 1) * rows, :3] for b in range(6)], axis=1,
     )
 
 
 def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                        da_ref, dy_ref, dpr_ref, dps_ref, *, h):
+                        day_ref, dpsT_ref, *, h):
     rr = restT_rows_ref[0]
     rs = restT_slab_ref[0]
     dx, w, gfac = _pair_coeffs(rr, rs, h)
     cA = w * mass_slab_ref[0]
     gv = gfac * vol_slab_ref[0]
-    da = da_ref[0]                  # (rows, 9), cols 3a+b
-    dy = dy_ref[0]
+    day = day_ref[0]                # (rows, 18), fused [dA | dY], cols 3b+a
     rows = rr.shape[1]
     lhs = jnp.concatenate(
         [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
     )
-    # cotangents arrive in the kernel's transposed [3b+a] layout.  NB: blocks
-    # must be re-laid out per column — concatenating the [:, 3b:3b+3] slices
-    # directly leaves nonzero lane offsets that Mosaic's concat rejects
-    # ("offset mismatch on non-concat dimension", real-TPU lowering only).
+    # cotangent blocks re-laid out per column (concatenating strided slices
+    # directly leaves lane offsets Mosaic's concat rejects on real TPU)
     cts = jnp.concatenate(
-        [jnp.stack([da[:, 3 * b + a] for a in range(3)], axis=1)
-         for b in range(3)]
-        + [jnp.stack([dy[:, 3 * b + a] for a in range(3)], axis=1)
-         for b in range(3)], axis=0
+        [jnp.stack([day[:, 3 * blk + a] for a in range(3)], axis=1)
+         for blk in range(6)], axis=0
     )                                                # (6 rows, 3)
     # d pos_slabT = ct^T @ LHS summed over the 6 stacked blocks (lane-major
     # (3, slab) output: a (slab, 3) pallas output would be retiled 42x)
-    dps_ref[0] = _dot_rows(cts, lhs)
-    # d pos_rows = -sum_blk rowsum(LHS_blk) * ct_blk
-    rowsum = jnp.sum(lhs, axis=1, keepdims=True)
-    dpr = None
-    for blk in range(6):
-        term = rowsum[blk * rows:(blk + 1) * rows] * cts[blk * rows:(blk + 1) * rows]
-        dpr = term if dpr is None else dpr + term
-    dpr_ref[0] = -dpr
+    dpsT_ref[0] = _dot_rows(cts, lhs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def moments_pallas(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows, pos_slab,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def moments_pallas(restT_rows, restT_slab, mass_slab, vol_slab, pos_slabT,
                    h, interpret=None):
-    """A_pq, Y moments: (t, rows, 9) each, TRANSPOSED column order 3*b + a
-    (relabel with mat3.transpose3 after from_trailing)."""
+    """Raw moment dots ay: (t, rows, 18) = [A | Y], columns 3*b + a (transposed
+    trailing layout).  Callers subtract the static-rowsum correction in XLA
+    and relabel with mat3.transpose3."""
     return _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                             pos_rows, pos_slab, h, interpret)
+                             pos_slabT, h, interpret)
 
 
-def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
                       pos_slabT, h, interpret):
     """pos_slabT: (t, pw, slab) lane-major dynamic positions."""
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     pw = pos_slabT.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_moments_kernel, h=h), 8)
+    kernel = _batched(functools.partial(_moments_kernel, h=h), 6)
     args, t_pad = _pad_tiles(
         [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
-         pos_rows, pos_slabT], t)
+         pos_slabT], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (rows, pw), (pw, slab),
+            (3, rows), (3, slab), (1, slab), (1, slab), (pw, slab),
         ]),
-        out_specs=_tile_specs([(rows, 9), (rows, 9)]),
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad, rows, 9), pos_rows.dtype),
-            jax.ShapeDtypeStruct((t_pad, rows, 9), pos_rows.dtype),
-        ],
+        out_specs=_tile_specs([(rows, 18)])[0],
+        out_shape=jax.ShapeDtypeStruct((t_pad, rows, 18), restT_rows.dtype),
         interpret=interpret,
     )(*args)
-    return tuple(o[:t] for o in out)
+    return out[:t]
 
 
-def _moments_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_rows,
+def _moments_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
                      pos_slabT, h, interpret):
     out = _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                            pos_rows, pos_slabT, h, interpret)
+                            pos_slabT, h, interpret)
     return out, (restT_rows, restT_slab, mass_slab, vol_slab,
                  pos_slabT.shape[1])
 
 
-def _moments_vjp_bwd(h, interpret, res, cts):
+def _moments_vjp_bwd(h, interpret, res, day):
     restT_rows, restT_slab, mass_slab, vol_slab, pw = res
-    da, dy = cts
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_moments_bwd_kernel, h=h), 8)
+    kernel = _batched(functools.partial(_moments_bwd_kernel, h=h), 6)
     args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :], da, dy], t)
-    dpr, dps = pl.pallas_call(
+        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
+         day], t)
+    dps = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (rows, 9), (rows, 9),
+            (3, rows), (3, slab), (1, slab), (1, slab), (rows, 18),
         ]),
-        out_specs=_tile_specs([(rows, 3), (3, slab)]),
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad, rows, 3), da.dtype),
-            jax.ShapeDtypeStruct((t_pad, 3, slab), da.dtype),
-        ],
+        out_specs=_tile_specs([(3, slab)])[0],
+        out_shape=jax.ShapeDtypeStruct((t_pad, 3, slab), day.dtype),
         interpret=interpret,
     )(*args)
     dps = dps[:t]
     if pw > 3:   # cotangent wrt the (t, pw, slab) lane-major operand
         dps = jnp.concatenate(
             [dps, jnp.zeros((t, pw - 3, slab), dps.dtype)], axis=1)
-    return (None, None, None, None, dpr[:t], dps)
+    return (None, None, None, None, dps)
 
 
 moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
@@ -456,9 +437,8 @@ forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
 _SYM6 = (0, 1, 2, 1, 3, 4, 2, 4, 5)
 
 
-def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
-                           m9_ref, srT_ref, vol_rows_ref,
-                           f_ref, *, h, chunks):
+def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
+                           fm_ref, srT_ref, f_ref, *, h, chunks):
     """Warp pairing (sim.py:227-234): f_i = V_i/2 (sum_j R_j f_ij + M_i sum_j V_j nw).
 
     srT_ref (1, 16, slab): the fused [S_6 | R_9^T | pad] slab LANE-MAJOR
@@ -469,11 +449,14 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
     A (slab, 16)-shaped operand would be retiled by XLA with the minor dim
     padded to 128 lanes — an 8x HBM bloat staged every scan iteration.
     Volume V_j is folded into gfac once (nw carries it through z/u/svnw).
+    fm_ref (1, rows, 19) fuses [F_9 | M_9 | V_i] into one operand (each
+    separate (rows, k<128) operand pays its own 128-lane retiling + staging).
     """
     rr = restT_rows_ref[0]
-    f9 = f9_ref[0]
-    m9 = m9_ref[0]
-    vol_rows = vol_rows_ref[0]
+    fm = fm_ref[0]
+    f9 = fm[:, 0:9]
+    m9 = fm[:, 9:18]
+    vol_rows = fm[:, 18:19]
     rows = rr.shape[1]
     slab = restT_slab_ref.shape[2]
     L = slab // chunks
@@ -505,8 +488,8 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref, f9_ref,
 
 
 def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
-                               f9_ref, srT_ref, vol_rows_ref, df_ref,
-                               df9_ref, dm9_ref, dsT6_ref, drT_ref, *, h, chunks):
+                               fm_ref, srT_ref, df_ref,
+                               dfm_ref, dsT6_ref, drT_ref, *, h, chunks):
     """Backward of :func:`_forces_warp_kernel_v2`.
 
     srT (1, 16, slab) as in the forward.  Outputs (both LANE-MAJOR — small-
@@ -517,8 +500,9 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     [S_6 | R_9^T] record in XLA (transposes there run at HBM speed).
     """
     rr = restT_rows_ref[0]
-    f9 = f9_ref[0]
-    vol_rows = vol_rows_ref[0]
+    fm = fm_ref[0]
+    f9 = fm[:, 0:9]
+    vol_rows = fm[:, 18:19]
     df = df_ref[0] * (0.5 * vol_rows)          # (rows, 3)
     rows = rr.shape[1]
     slab = restT_slab_ref.shape[2]
@@ -570,35 +554,34 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     for a in range(3):
         for b in range(3):
             dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b]
-    dm9_ref[0] = jnp.concatenate(dm_cols, axis=1)
-    df9_ref[0] = jnp.concatenate(df9_acc, axis=1)
+    # fused [dF_9 | dM_9 | 0] cotangent (V_i is a material constant)
+    dfm_ref[0] = jnp.concatenate(
+        df9_acc + dm_cols + [jnp.zeros_like(vol_rows)], axis=1)
 
 
-def _forces_warp_bwd_impl(restT_rows, restT_slab, vol_slab, f9_rows, srT_slab,
-                          vol_rows, df, h, interpret, chunks):
+def _forces_warp_bwd_impl(restT_rows, restT_slab, vol_slab, fm_rows, srT_slab,
+                          df, h, interpret, chunks):
     """pallas_call wrapper for the v2 warp backward (used by packed.py)."""
     t, _, rows = restT_rows.shape
     slab = restT_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
     kernel = _batched(
-        functools.partial(_forces_warp_bwd_kernel_v2, h=h, chunks=chunks), 11)
+        functools.partial(_forces_warp_bwd_kernel_v2, h=h, chunks=chunks), 9)
     args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], f9_rows, srT_slab,
-         vol_rows[:, :, None], df], t)
-    df9, dm9, dsT6, drT = pl.pallas_call(
+        [restT_rows, restT_slab, vol_slab[:, None, :], fm_rows, srT_slab, df], t)
+    dfm, dsT6, drT = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 9),
-            (16, slab), (rows, 1), (rows, 3),
+            (3, rows), (3, slab), (1, slab), (rows, 19),
+            (16, slab), (rows, 3),
         ]),
-        out_specs=_tile_specs([(rows, 9), (rows, 9), (6, slab), (9, slab)]),
+        out_specs=_tile_specs([(rows, 19), (6, slab), (9, slab)]),
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
-            jax.ShapeDtypeStruct((t_pad, rows, 9), df.dtype),
+            jax.ShapeDtypeStruct((t_pad, rows, 19), df.dtype),
             jax.ShapeDtypeStruct((t_pad, 6, slab), df.dtype),
             jax.ShapeDtypeStruct((t_pad, 9, slab), df.dtype),
         ],
         interpret=interpret,
     )(*args)
-    return df9[:t], dm9[:t], dsT6[:t], drT[:t]
+    return dfm[:t], dsT6[:t], drT[:t]

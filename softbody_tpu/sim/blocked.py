@@ -110,6 +110,7 @@ def build_blocked_scene(
         restT_slab=jnp.swapaxes(rest_slab, 1, 2),
         gidx8=group_idx(8),
         gidx4=group_idx(4),
+        rs6=None,
         rows=layout.tile_rows,
         slab_len=layout.slab_len,
         run_len=layout.run_len,
@@ -138,6 +139,18 @@ def build_blocked_scene(
     import dataclasses as _dc
 
     blocked = _dc.replace(blocked, vol_slab=_pregather(volume, layout, dtype))
+
+    # static moment row sums (one build-time moments call on an all-ones RHS;
+    # a per-step ones call would not be hoisted out of the episode scan)
+    from ..ops.pallas.packed import moments_packed
+    from ..ops.pallas.pair_kernels import _interpret_default
+
+    ay1 = moments_packed(
+        blocked.restT_rows, blocked.restT_slab, blocked.mass_slab,
+        blocked.vol_slab, jnp.ones((ns, 3), dtype), blocked.gidx8, cfg.h,
+        _interpret_default(),
+    ).reshape(m_tiles, 18)
+    blocked = _dc.replace(blocked, rs6=ay1[:, 0::3])
 
     # static rest correction: Y evaluated at the rest configuration
     @jax.jit
@@ -251,15 +264,24 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     t, rows = blk.n_tiles, blk.rows
     m = t * rows
     dtype = pos_slots.dtype
-    pos_rows = pos_slots[:m].reshape(t, rows, 3)           # tiles partition slots
 
-    A9, Y9 = moments_packed(
-        blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
-        pos_rows, pos_slots, blk.gidx8, cfg.h, interpret,
-    )
-    # the moments kernel emits the transposed [3b+a] layout; relabel (free)
-    A = mat3.transpose3(mat3.from_trailing(A9.reshape(m, 3, 3)))
-    Y = mat3.transpose3(mat3.from_trailing(Y9.reshape(m, 3, 3)))
+    def moments_all(p_slots):
+        return moments_packed(
+            blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
+            p_slots, blk.gidx8, cfg.h, interpret,
+        ).reshape(m, 18)
+
+    ay = moments_all(pos_slots)
+    rs6 = blk.rs6
+    pos_m = pos_slots[:m]
+    # relabel [3b+a] (free) and subtract the correction component-wise in the
+    # lane-packed mat3 space (see elastic_forces_sparse)
+    A_raw = mat3.transpose3(mat3.from_trailing(ay[:, :9].reshape(m, 3, 3)))
+    Y_raw = mat3.transpose3(mat3.from_trailing(ay[:, 9:18].reshape(m, 3, 3)))
+    A = mat3.pack([[A_raw[a, b] - pos_m[:, a] * rs6[:, b]
+                    for b in range(3)] for a in range(3)])
+    Y = mat3.pack([[Y_raw[a, b] - pos_m[:, a] * rs6[:, 3 + b]
+                    for b in range(3)] for a in range(3)])
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
 
@@ -274,21 +296,23 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
             G9_rows, to_slot(G, 9), vol_rows, blk.gidx8, cfg.h, interpret,
         )
     else:
-        # Warp mode (sim.py:233): F_i pairs with S_j; S and R ship as one fused
-        # (n_slots, 18) slab source.
-        F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
-        M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
-        # fused [S_6 | R_9^T] record (see forces_warp_packed)
-        sr15 = jnp.stack(
+        # Warp mode (sim.py:233): fused [F|M|V] rows + [S_6|R_9^T] slot record
+        from ..ops.pallas.packed import rows_from_components
+
+        fm_rows = rows_from_components(
+            [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
+             F[2, 0], F[2, 1], F[2, 2],
+             M[0, 0], M[0, 1], M[0, 2], M[1, 0], M[1, 1], M[1, 2],
+             M[2, 0], M[2, 1], M[2, 2], vol_m], t, rows)
+        from ..ops.pallas.packed import pack_components
+
+        sr_packed = pack_components(
             [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
              R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
-             R[0, 2], R[1, 2], R[2, 2]], axis=-1,
-        )
-        sr_slots = jnp.zeros((blk.n_slots, 15), dtype=dtype).at[:m].set(
-            sr15.reshape(m, 15))
+             R[0, 2], R[1, 2], R[2, 2]], 16, 8, n_total=blk.n_slots)
         f = forces_warp_packed(
             blk.restT_rows, blk.restT_slab, blk.vol_slab,
-            F9_rows, M9_rows, sr_slots, vol_rows, blk.gidx8, cfg.h, interpret,
+            fm_rows, sr_packed, blk.gidx8, cfg.h, interpret,
         )
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f.reshape(m, 3))

@@ -73,7 +73,7 @@ class DevBucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets"],
+    data_fields=["buckets", "rs6"],
     meta_fields=["rows", "n_tiles", "n_slots"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +84,7 @@ class SparseBlocked:
     directly yields tile order (no unpermute needed)."""
 
     buckets: tuple           # tuple[DevBucket, ...]
+    rs6: jnp.ndarray         # (n_tiles*rows, 6) static moment row sums
     rows: int
     n_tiles: int
     n_slots: int
@@ -180,8 +181,10 @@ def build_sparse_scene(
     )
 
     buckets = tuple(make_bucket(b, vol_np=volume) for b in layout.buckets)
+    rs6 = _static_rowsums(buckets, m, ns, cfg, dtype)
     sb = SparseBlocked(
         buckets=buckets,
+        rs6=rs6,
         rows=rows,
         n_tiles=n_tiles,
         n_slots=ns,
@@ -208,12 +211,32 @@ def build_sparse_scene(
     return scene, sop
 
 
+def _static_rowsums(buckets, m, n_slots, cfg, dtype):
+    """Static rest row sums rs6 (m, 6): one build-time moments call on an
+    all-ones RHS (cols [3b+0] of the raw dots).  Computed ONCE here — a
+    per-step ones call would NOT be hoisted out of the episode scan (XLA's
+    LICM is conservative about custom-calls)."""
+    from ..ops.pallas.packed import moments_packed
+    from ..ops.pallas.pair_kernels import _interpret_default
+
+    interpret = _interpret_default()
+    ones = jnp.ones((n_slots, 3), dtype)
+    parts = [moments_packed(
+        b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+        ones, b.gidx8, cfg.h, interpret) for b in buckets]
+    return jnp.concatenate(parts, axis=0).reshape(m, 18)[:, 0::3]
+
+
 def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                           cfg: SimConfig, interpret=None):
-    """Bucketed Pallas pair kernels + lane-packed XLA mid-section."""
-    from ..ops.pallas.packed import (
-        forces_packed, forces_warp_packed, moments_packed,
-    )
+    """Bucketed Pallas pair kernels + lane-packed XLA mid-section.
+
+    The moments kernels emit RAW dots; the ``- pos_i * (static rest row sum)``
+    correction happens here in XLA.  The row sums come from a moments call on
+    an all-ones RHS — a loop-invariant computation XLA hoists out of the
+    episode scan, so it costs nothing per step.
+    """
+    from ..ops.pallas.packed import forces_packed, forces_warp_packed, moments_packed
     from ..ops.pallas.pair_kernels import _interpret_default
 
     interpret = _interpret_default() if interpret is None else interpret
@@ -221,23 +244,27 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     t, rows = sb.n_tiles, sb.rows
     m = t * rows
     dtype = pos_slots.dtype
-    pos_rows = pos_slots[:m].reshape(t, rows, 3)
 
-    a_parts, y_parts = [], []
-    for b in sb.buckets:
-        A9b, Y9b = moments_packed(
+    def moments_all(p_slots):
+        parts = [moments_packed(
             b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
-            b.rows_of(pos_rows), pos_slots, b.gidx8,
-            cfg.h, interpret,
-        )
-        a_parts.append(A9b)
-        y_parts.append(Y9b)
-    # bucket-major tile order: concat IS tile order (no unpermute)
-    A9 = jnp.concatenate(a_parts, axis=0)
-    Y9 = jnp.concatenate(y_parts, axis=0)
-    # the kernel emits the transposed [3b+a] layout; relabel (free at mat3 level)
-    A = mat3.transpose3(mat3.from_trailing(A9.reshape(m, 3, 3)))
-    Y = mat3.transpose3(mat3.from_trailing(Y9.reshape(m, 3, 3)))
+            p_slots, b.gidx8, cfg.h, interpret) for b in sb.buckets]
+        # bucket-major tile order: concat IS tile order
+        return jnp.concatenate(parts, axis=0).reshape(m, 18)
+
+    ay = moments_all(pos_slots)
+    rs6 = sb.rs6                                               # (m, 6), col b
+    pos_m = pos_slots[:m]
+    # kernel emits the transposed [3b+a] layout; relabel (free at mat3 level)
+    # and subtract the -pos_i * rowsum correction COMPONENT-WISE in the
+    # lane-packed mat3 space (a broadcasted (m, 6, 3) correction tensor would
+    # materialize with its minor dim padded to 128 lanes — 42x HBM bloat)
+    A_raw = mat3.transpose3(mat3.from_trailing(ay[:, :9].reshape(m, 3, 3)))
+    Y_raw = mat3.transpose3(mat3.from_trailing(ay[:, 9:18].reshape(m, 3, 3)))
+    A = mat3.pack([[A_raw[a, b] - pos_m[:, a] * rs6[:, b]
+                    for b in range(3)] for a in range(3)])
+    Y = mat3.pack([[Y_raw[a, b] - pos_m[:, a] * rs6[:, 3 + b]
+                    for b in range(3)] for a in range(3)])
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
 
@@ -256,21 +283,25 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                 cfg.h, interpret,
             ))
     else:
-        F9_rows = mat3.to_trailing(F).reshape(t, rows, 9)
-        M9_rows = mat3.to_trailing(M).reshape(t, rows, 9)
-        # fused per-slot record [S_6 | R_9^T]: S symmetric (6 unique), R
-        # transposed — one 16f-packed gather source (see forces_warp_packed)
-        sr15 = jnp.stack(
+        # fused per-row operand [F_9 | M_9 | V_i] and per-slot record
+        # [S_6 | R_9^T] (see forces_warp_packed)
+        from ..ops.pallas.packed import rows_from_components
+
+        fm_rows = rows_from_components(
+            [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
+             F[2, 0], F[2, 1], F[2, 2],
+             M[0, 0], M[0, 1], M[0, 2], M[1, 0], M[1, 1], M[1, 2],
+             M[2, 0], M[2, 1], M[2, 2], vol_m], t, rows)
+        from ..ops.pallas.packed import pack_components
+
+        sr_packed = pack_components(
             [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
              R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
-             R[0, 2], R[1, 2], R[2, 2]], axis=-1,
-        )                                                  # (m, 15)
-        sr_slots = jnp.zeros((sb.n_slots, 15), dtype=dtype).at[:m].set(sr15)
+             R[0, 2], R[1, 2], R[2, 2]], 16, 8, n_total=sb.n_slots)
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
-                b.rows_of(F9_rows), b.rows_of(M9_rows), sr_slots,
-                b.rows_of(vol_rows), b.gidx8,
+                b.rows_of(fm_rows), sr_packed, b.gidx8,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))
     f = jnp.concatenate(f_parts, axis=0)
