@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",
                     help="pair_def_grad semantics: warp=F_i (flagship), taichi=F_j (separable)")
     ap.add_argument("--grad", action="store_true", help="benchmark value_and_grad instead of forward")
+    ap.add_argument("--pair-dtype", choices=["float32", "bfloat16"], default="float32")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -70,6 +71,7 @@ def main():
         target_frames=2,
         backend=args.backend,
         pair_def_grad="i" if args.mode == "warp" else "j",
+        pair_dtype=args.pair_dtype,
     )
     t0 = time.perf_counter()
     if args.backend == "pallas" and args.layout == "sparse":

@@ -64,6 +64,9 @@ class SimConfig:
 
     # --- numerics --------------------------------------------------------------
     dtype: str = "float32"           # "float32" | "float64" (oracle / parity checks)
+    pair_dtype: str = "float32"      # "bfloat16": K2 pair products + S|R slab in
+                                     # bf16 with f32 accumulation (~0.4% force
+                                     # noise; see test_sparse bf16 drift test)
     max_neighbors: int = 64          # K: padded neighbor-table width
     remat: bool = True               # jax.checkpoint the step fn inside lax.scan
     backend: str = "gather"          # "gather" (N,K tables) | "blocked" (slot space,

@@ -345,7 +345,8 @@ def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
         body, (restT_rows, restT_slab, vol_slab, fm_rows, gidx8, df), t,
         jnp.zeros((n_rows_src, 128), df.dtype),
     )
-    return (None, None, None, dfm, dsr_packed, None)
+    # cotangent dtype must match the (possibly bf16) primal source
+    return (None, None, None, dfm, dsr_packed.astype(sr_packed.dtype), None)
 
 
 forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)

@@ -461,21 +461,27 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     slab = restT_slab_ref.shape[2]
     L = slab // chunks
 
-    termj = jnp.zeros_like(f9[:, :3])
+    pdt = srT_ref[0, 0:1, 0:1].dtype   # bf16 when cfg.pair_dtype says so
+    f32 = rr.dtype
+    termj = jnp.zeros((rows, 3), f32)
     svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     for k in range(chunks):
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
         gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]   # (rows, L), V_j folded
         sT = srT_ref[0, :, k * L:(k + 1) * L]               # (16, L)
-        nw = [gv * dx[b] for b in range(3)]
-        z = [sum(nw[b] * sT[_SYM6[3 * d + b]][None, :] for b in range(3))
-             for d in range(3)]
+        nw = [gv * dx[b] for b in range(3)]                 # f32 (svnw needs it)
+        nw_p = (nw if pdt == f32
+                else [v.astype(pdt) for v in nw])
+        # S rows sliced 2D (bf16 (L,) -> (1, L) minor-dim inserts don't lower)
+        z = [sum(nw_p[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
+                 for b in range(3)) for d in range(3)]
         u_stack = jnp.concatenate(
-            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d] for d in range(3))
-             for c in range(3)], axis=0,
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1].astype(pdt) * z[d]
+                 for d in range(3)) for c in range(3)], axis=0,
         )                                                   # (3 rows, L)
-        dots = _dot_t(u_stack, sT)                          # (3 rows, 16)
+        dots = jax.lax.dot_general(                          # f32 accumulate
+            u_stack, sT, (((1,), (1,)), ((), ())), preferred_element_type=f32)
         for c in range(3):
             termj = termj + dots[c * rows:(c + 1) * rows, 6 + 3 * c:9 + 3 * c]
         for b in range(3):
@@ -514,10 +520,11 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
         rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
         gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
-        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (16, L)
+        # backward runs f32 throughout (cast the possibly-bf16 slab once)
+        sT = srT_ref[0, :, k * L:(k + 1) * L].astype(rr.dtype)  # (16, L)
         nw = [gv * dx[b] for b in range(3)]                 # V_j folded
-        z = [sum(nw[b] * sT[_SYM6[3 * d + b]][None, :] for b in range(3))
-             for d in range(3)]
+        z = [sum(nw[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
+                 for b in range(3)) for d in range(3)]
         for b in range(3):
             svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
 
@@ -532,7 +539,8 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
             drT_ref[0, 3 * c:3 * c + 3, k * L:(k + 1) * L] = contrib
             # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]; srT rows 6+3c+a
             wprime.append(
-                sum(df[:, a: a + 1] * sT[6 + 3 * c + a][None, :] for a in range(3))
+                sum(df[:, a: a + 1] * sT[6 + 3 * c + a:7 + 3 * c + a, :]
+                    for a in range(3))
             )
 
         y = []

@@ -294,10 +294,14 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
              M[2, 0], M[2, 1], M[2, 2], vol_m], t, rows)
         from ..ops.pallas.packed import pack_components
 
+        # pair_dtype is an explicit bf16 opt-in; otherwise keep the sim dtype
+        pdt = (jnp.dtype("bfloat16") if cfg.pair_dtype == "bfloat16"
+               else jnp.dtype(dtype))
         sr_packed = pack_components(
-            [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
-             R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
-             R[0, 2], R[1, 2], R[2, 2]], 16, 8, n_total=sb.n_slots)
+            [c.astype(pdt) for c in
+             (S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
+              R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
+              R[0, 2], R[1, 2], R[2, 2])], 16, 8, n_total=sb.n_slots)
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,

@@ -132,3 +132,27 @@ def test_taichi_preset_matches(body):
     pb = np.asarray(fin_b.position)[np.asarray(sop_b)]
     ps = np.asarray(fin_s.position)[np.asarray(sop_s)]
     assert np.abs(pb - ps).max() < 1e-12
+
+
+def test_bf16_pair_dtype_drift():
+    """cfg.pair_dtype='bfloat16' (K2 pair products + S|R slab in bf16, f32
+    accumulation) must track the f32 path to ~bf16 resolution: forces within
+    ~1% relative and a short trajectory within 1e-2 * |displacement|."""
+    import jax.numpy as jnp
+    from softbody_tpu import rollout, warp_parity
+    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.sim.sparse import build_sparse_scene
+
+    pts, out_num = inflatable_sphere(n_outer=120, radius=0.05)
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 16), dtype="float32", dt=1e-6, target_frames=2,
+        backend="pallas",
+    )
+    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+    x = jnp.zeros(scene.blocked.n_slots, jnp.float32)
+    _, fin32, _ = rollout(x, scene, cfg, n_steps=30)
+    cfg16 = cfg.replace(pair_dtype="bfloat16")
+    _, fin16, _ = rollout(x, scene, cfg16, n_steps=30)
+    disp = np.abs(np.asarray(fin32.position) - np.asarray(scene.rest_position))
+    err = np.abs(np.asarray(fin16.position) - np.asarray(fin32.position))
+    assert err.max() <= max(1e-2 * disp.max(), 1e-7), (err.max(), disp.max())
