@@ -92,3 +92,5 @@ class Scene(NamedTuple):
     rest_corr: jnp.ndarray | None = None       # (3, 3, m) static nabla_u rest term
     slot_of_particle: jnp.ndarray | None = None  # (n_particles,) particle -> slot
     obstacles: object = None     # ops.obstacles.Obstacles (SDF contact), optional
+    contact: object = None       # ops.contact.ContactGrid (dynamic re-binned
+                                 # particle-particle contact), optional

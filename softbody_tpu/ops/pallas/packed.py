@@ -225,6 +225,58 @@ def _moments_packed_vjp_bwd(h, interpret, res, day):
 moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def moments_packed_src(restT_rows, restT_slab, mass_slab, vol_slab,
+                       pos_packed, gidx8, h, interpret=False):
+    """Like :func:`moments_packed` but takes the PRE-PACKED (n_rows, 64)
+    position source (8 f/slot, build with ``pack_components``) directly.
+
+    Used by SPMD shards (parallel/sparse_shard.py) that pack locally and
+    all-gather ONE shared source per step; the VJP returns the PACKED source
+    cotangent, whose all-gather transpose (psum_scatter) routes each shard's
+    contribution home."""
+    return _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+                            pos_packed, gidx8, h, interpret)
+
+
+def _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+                     pos_packed, gidx8, h, interpret):
+    slab = restT_slab.shape[2]
+    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8)
+    return pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
+                                pos_slabT, h, interpret)
+
+
+def _moments_src_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+                         pos_packed, gidx8, h, interpret):
+    out = _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+                           pos_packed, gidx8, h, interpret)
+    return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
+                 pos_packed.shape[0])
+
+
+def _moments_src_vjp_bwd(h, interpret, res, day):
+    restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_rows_src = res
+    t = restT_rows.shape[0]
+
+    def body(args):
+        rr, rs, ms, vs, gi, day_c = args
+        dpsT_c = pk._moments_vjp_bwd(
+            h, interpret, (rr, rs, ms, vs, 3), day_c
+        )[4]
+        return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
+                jnp.zeros((day_c.shape[0],), day_c.dtype))
+
+    dsrc, _ = _scan_chunks(
+        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, day), t,
+        jnp.zeros((n_rows_src, 64), day.dtype),
+    )
+    return (None, None, None, None, dsrc, None)
+
+
+moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)
+
+
 # --------------------------------------------------------------------- forces (separable)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def forces_packed(restT_rows, restT_slab, vol_slab, g_rows, g_slots, vol_rows,

@@ -83,9 +83,11 @@ def shard_scene(scene: Scene, mesh: Mesh) -> Scene:
         rest_corr=rest_corr,
         slot_of_particle=(None if scene.slot_of_particle is None
                           else put(scene.slot_of_particle)),
-        # obstacle SDFs are small per-scene constants: replicate
+        # obstacle SDFs / contact grids are small per-scene constants: replicate
         obstacles=(None if scene.obstacles is None else jax.tree.map(
             lambda a: jax.device_put(a, replicated(mesh)), scene.obstacles)),
+        contact=(None if scene.contact is None else jax.tree.map(
+            lambda a: jax.device_put(a, replicated(mesh)), scene.contact)),
     )
 
 
@@ -139,7 +141,7 @@ def pad_scene(scene: Scene, multiple: int, cfg: SimConfig):
         sum_v_nw=cat(t.sum_v_nw, 0.0, (3,)),
     )
     return Scene(rest, mats, topo, scene.out_num,
-                 obstacles=scene.obstacles), n
+                 obstacles=scene.obstacles, contact=scene.contact), n
 
 
 def pad_targets(target_p, target_v, padded_scene: Scene, n_orig: int, cfg: SimConfig):

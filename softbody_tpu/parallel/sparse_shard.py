@@ -1,0 +1,301 @@
+"""SPMD episode for the sparse/pallas flagship backend.
+
+The gather backend shards per-particle rows (parallel/sharding.py, halo.py);
+this module shards the SPARSE slot space (sim/sparse.py) over the same 1-D
+``"p"`` mesh axis.  Requirements and design:
+
+* The scene must be built with ``build_sparse_scene(..., n_shards=mesh size)``:
+  topology/sparse.py then pads every cap's tile list to an n_shards multiple
+  and orders tiles SHARD-MAJOR, so each shard owns a contiguous slice of tile
+  space with an IDENTICAL bucket-shape signature — the one traced program
+  shard_map requires.
+* Candidate group ids stay GLOBAL.  Each step, every shard packs its local
+  slots into the 128-float-row gather sources (ops/pallas/packed.py) and
+  ``all_gather``s them over ICI; the pair kernels then gather remote neighbor
+  groups out of the shared source exactly as the single-chip path does.  Two
+  all-gathers per force evaluation (positions 8 f/slot, [S|R] 16 f/slot);
+  their VJP (psum_scatter) routes slab cotangents home automatically.
+* The trailing all-empty group (global row ``m/GROUP``) is appended as a zero
+  row after the all-gather.  Its values are multiplied by exactly-zero pair
+  coefficients (far-grid rest coordinates put it outside the kernel support),
+  so zeros are bitwise-equivalent to the single-chip far-grid contents.
+* Per-slot state (positions, velocities, forces, materials, rest data) lives
+  sharded; the integrator, mid-section and loss terms are purely local.  The
+  scalar loss is ``psum``-ed once per episode.
+
+Everything runs inside ONE ``shard_map`` under ONE ``jit`` — XLA compiles the
+collectives into the episode ``lax.scan`` with no host round-trips, the TPU
+analog of multi-GPU halo exchange the reference never had (SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..core.types import Materials, ParticleState, Scene
+from ..ops import mat3
+from ..ops.elasticity import compute_ratio
+from ..sim.blocked import _mid_section
+from ..sim.sparse import DevBucket, SparseBlocked, _chunks_for
+from .sharding import AXIS
+
+
+def stack_shard_buckets(sb: SparseBlocked):
+    """Stack the shard-major bucket list into per-position leaves.
+
+    Returns (stacked, meta): ``stacked`` is a list (one entry per bucket
+    position) of dicts of (n_shards, ...) arrays; ``meta`` the static
+    (local_tile_start, rows, slab_len) per position.
+    """
+    S = sb.n_shards
+    if S <= 1:
+        raise ValueError("scene was not built with n_shards > 1")
+    nb = len(sb.buckets) // S
+    stacked, meta = [], []
+    start = 0
+    for k in range(nb):
+        per = [sb.buckets[d * nb + k] for d in range(S)]
+        b0 = per[0]
+        assert all(b.slab_len == b0.slab_len and b.n_tiles == b0.n_tiles
+                   for b in per), "shard bucket signature mismatch"
+        stacked.append({
+            "gidx8": jnp.stack([b.gidx8 for b in per]),
+            "restT_rows": jnp.stack([b.restT_rows for b in per]),
+            "restT_slab": jnp.stack([b.restT_slab for b in per]),
+            "mass_slab": jnp.stack([b.mass_slab for b in per]),
+            "vol_slab": jnp.stack([b.vol_slab for b in per]),
+        })
+        meta.append((start, b0.rows, b0.slab_len))
+        start += b0.n_tiles
+    return stacked, meta
+
+
+def _local_buckets(stacked_local, meta):
+    """Rebuild DevBuckets from the shard-local (1, ...) leaves."""
+    out = []
+    for leaves, (tile_start, rows, slab_len) in zip(stacked_local, meta):
+        out.append(DevBucket(
+            gidx8=leaves["gidx8"][0],
+            restT_rows=leaves["restT_rows"][0],
+            restT_slab=leaves["restT_slab"][0],
+            mass_slab=leaves["mass_slab"][0],
+            vol_slab=leaves["vol_slab"][0],
+            tile_start=tile_start,
+            rows=rows,
+            slab_len=slab_len,
+        ))
+    return out
+
+
+def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
+                   cfg: SimConfig, interpret):
+    """Shard-local sparse elastic forces with all-gathered packed sources."""
+    from ..ops.pallas.packed import (
+        forces_packed, forces_warp_packed, moments_packed_src,
+        pack_components, rows_from_components,
+    )
+
+    m_loc = pos_loc.shape[0]
+    rows = lbuckets[0].rows
+    t_loc = m_loc // rows
+    dtype = pos_loc.dtype
+
+    def gathered_source(comps, pad_width):
+        packed_loc = pack_components(comps, pad_width, 8)
+        packed = jax.lax.all_gather(packed_loc, AXIS, axis=0, tiled=True)
+        zero = jnp.zeros((1, packed.shape[1]), packed.dtype)
+        return jnp.concatenate([packed, zero], axis=0)  # trailing empty group
+
+    pos_packed = gathered_source([pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], 8)
+    ay = jnp.concatenate([
+        moments_packed_src(b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+                           pos_packed, b.gidx8, cfg.h, interpret)
+        for b in lbuckets
+    ], axis=0).reshape(m_loc, 18)
+
+    A_raw = mat3.transpose3(mat3.from_trailing(ay[:, :9].reshape(m_loc, 3, 3)))
+    Y_raw = mat3.transpose3(mat3.from_trailing(ay[:, 9:18].reshape(m_loc, 3, 3)))
+    A = mat3.pack([[A_raw[a, b] - pos_loc[:, a] * rs6_loc[:, b]
+                    for b in range(3)] for a in range(3)])
+    Y = mat3.pack([[Y_raw[a, b] - pos_loc[:, a] * rs6_loc[:, 3 + b]
+                    for b in range(3)] for a in range(3)])
+    lscene = Scene(rest_position=None, materials=lmats, topology=None,
+                   out_num=0, blocked=None, rest_corr=rest_corr_loc,
+                   slot_of_particle=None, obstacles=None)
+    R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_loc, lmats, lscene, cfg, m_loc)
+    vol_rows = vol_m.reshape(t_loc, rows)
+
+    f_parts = []
+    if cfg.pair_def_grad == "j":
+        G9_rows = mat3.to_trailing(G).reshape(t_loc, rows, 9)
+        g_comps = [G[a, b] for a in range(3) for b in range(3)]
+        g_packed = gathered_source(g_comps, 16)
+        # forces_packed packs internally from (n_slots, 9); reuse its kernel
+        # via the packed gather directly
+        from ..ops.pallas.packed import gather_packed
+        from ..ops.pallas import pair_kernels as pk
+
+        for b in lbuckets:
+            g_slab16 = gather_packed(g_packed, b.gidx8, b.slab_len, 16)
+            f_parts.append(pk._forces_fwd_impl(
+                b.restT_rows, b.restT_slab, b.vol_slab, b.rows_of(G9_rows),
+                g_slab16, b.rows_of(vol_rows), cfg.h, interpret))
+    else:
+        fm_rows = rows_from_components(
+            [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
+             F[2, 0], F[2, 1], F[2, 2],
+             M[0, 0], M[0, 1], M[0, 2], M[1, 0], M[1, 1], M[1, 2],
+             M[2, 0], M[2, 1], M[2, 2], vol_m], t_loc, rows)
+        pdt = (jnp.dtype("bfloat16") if cfg.pair_dtype == "bfloat16"
+               else jnp.dtype(dtype))
+        sr_packed = gathered_source(
+            [c.astype(pdt) for c in
+             (S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
+              R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
+              R[0, 2], R[1, 2], R[2, 2])], 16)
+        for b in lbuckets:
+            f_parts.append(forces_warp_packed(
+                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.rows_of(fm_rows), sr_packed, b.gidx8,
+                cfg.h, interpret, chunks=_chunks_for(b.slab_len),
+            ))
+    return jnp.concatenate(f_parts, axis=0).reshape(m_loc, 3)
+
+
+def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
+                           mesh, n_steps=None, interpret=None):
+    """Full sharded episode.  Returns (loss, (final_pos, final_vel)) with the
+    state arrays in GLOBAL body-slot order (m, 3).  Differentiable wrt ``x``.
+
+    ``x``/targets are given in global slot space ((n_slots,) / (T, n_slots, 3)
+    like the single-chip path); the trailing empty group is sliced off here.
+    """
+    from ..ops.pallas.pair_kernels import _interpret_default
+    from ..ops.collision import ground_penalty
+
+    interpret = _interpret_default() if interpret is None else interpret
+    sb: SparseBlocked = scene.blocked
+    if scene.obstacles is not None:
+        raise NotImplementedError("sharded sparse episode: obstacles not supported")
+    n_steps = cfg.frames if n_steps is None else n_steps
+    m = sb.n_tiles * sb.rows
+    stacked, meta = stack_shard_buckets(sb)
+    mats = jax.tree.map(lambda a: a[:m], scene.materials)
+    rest_m = scene.rest_position[:m]
+    rs6 = sb.rs6
+    rest_corr = scene.rest_corr  # (3, 3, m) lane-packed
+    x_m = x[:m]
+    tp_m = target_p[:, :m]
+    tv_m = target_v[:, :m]
+    n_targets = target_p.shape[0]
+    interval = max(n_steps // n_targets, 1)
+
+    pspec = P(AXIS)
+    pspec2 = P(AXIS, None)
+    bucket_specs = [
+        {k: P(AXIS, *([None] * (v.ndim - 1))) for k, v in leaves.items()}
+        for leaves in stacked
+    ]
+    mats_spec = Materials(mass=pspec, volume=pspec, mu=pspec, lam=pspec,
+                          free=pspec2, external=pspec2)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(pspec, P(None, AXIS, None), P(None, AXIS, None),
+                  bucket_specs, mats_spec, pspec2, pspec2,
+                  P(None, None, AXIS)),
+        out_specs=(P(), (pspec2, pspec2)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+    def run(x_loc, tp_loc, tv_loc, stacked_loc, lmats, rest_loc, rs6_loc,
+            rc_loc):
+        lbuckets = _local_buckets(stacked_loc, meta)
+        ratio_loc = compute_ratio(x_loc, cfg)
+
+        def elastic(pos):
+            return _elastic_local(pos, ratio_loc, lmats, lbuckets, rs6_loc,
+                                  rc_loc, cfg, interpret)
+
+        def total_force(pos, vel, f_el):
+            f = lmats.external + f_el - cfg.damping * vel
+            if cfg.collision:
+                f = f + ground_penalty(pos, cfg)
+            return f
+
+        dt = cfg.dt
+        mass = lmats.mass[:, None]
+
+        def step_fn(state):
+            pos, vel, f_el = state
+            if cfg.integrator == "trapezoidal":
+                force1 = total_force(pos, vel, f_el)
+                pos_n = pos + (dt * vel + 0.5 * dt * dt * force1 / mass) * lmats.free
+                f_el_n = elastic(pos_n)
+                force2 = total_force(pos_n, vel, f_el_n)
+                vel_n = vel + dt * (force1 + force2) / (2.0 * mass) * lmats.free
+                return ParticleState(pos_n, vel_n, f_el_n)
+            f_el_now = elastic(pos)
+            force = total_force(pos, vel, f_el_now)
+            vel_n = vel + dt * force / mass * lmats.free
+            pos_n = pos + dt * vel_n * lmats.free
+            return ParticleState(pos_n, vel_n, f_el_now)
+
+        if cfg.remat:
+            step_fn = jax.checkpoint(step_fn)
+
+        vel0 = jnp.broadcast_to(
+            jnp.asarray(cfg.initial_velocity, rest_loc.dtype), rest_loc.shape)
+        f0 = (elastic(rest_loc) if cfg.integrator == "trapezoidal"
+              else jnp.zeros_like(rest_loc))
+        state0 = ParticleState(rest_loc, vel0, f0)
+
+        def body(carry, f):
+            state, acc = carry
+            state = step_fn(state)
+            frame = f + 1
+            t_idx = jnp.clip(frame // interval - 1, 0, n_targets - 1)
+            dp = state.position - tp_loc[t_idx]
+            dv = state.velocity - tv_loc[t_idx]
+            w = cfg.dt if cfg.loss_mode == "sampled" else 1.0
+            term = jnp.sum(dp * dp) + w * jnp.sum(dv * dv)
+            if cfg.loss_mode == "final":
+                hit = frame == n_steps
+            else:
+                hit = (frame % interval == 0) & (frame // interval <= n_targets)
+            acc = acc + jnp.where(hit, term, 0.0)
+            return (state, acc), None
+
+        zero = jnp.zeros((), rest_loc.dtype)
+        (state, acc), _ = jax.lax.scan(body, (state0, zero), jnp.arange(n_steps))
+        loss = jax.lax.psum(acc, AXIS)
+        return loss, (state.position, state.velocity)
+
+    return run(x_m, tp_m, tv_m, stacked, mats, rest_m, rs6, rest_corr)
+
+
+def sparse_sharded_value_and_grad(scene: Scene, cfg: SimConfig, mesh,
+                                  n_steps=None, interpret=None):
+    """jit'd (loss, dloss/dx) over the sharded episode — the multi-chip
+    training step for the flagship backend."""
+
+    def f(x, tp, tv):
+        loss, _ = sparse_sharded_episode(x, scene, cfg, tp, tv, mesh,
+                                         n_steps=n_steps, interpret=interpret)
+        return loss
+
+    grad_fn = jax.value_and_grad(f)
+
+    @jax.jit
+    def run(x, tp, tv):
+        loss, g_m = grad_fn(x, tp, tv)
+        # grad of the (inert) trailing empty group is identically zero
+        g = jnp.zeros(scene.blocked.n_slots, g_m.dtype).at[:g_m.shape[0]].set(g_m)
+        return loss, g
+
+    return run

@@ -52,6 +52,10 @@ def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig, scene: Scene = 
         from ..ops.obstacles import penalty_force
 
         f = f + penalty_force(scene.obstacles, pos)
+    if scene is not None and scene.contact is not None:
+        from ..ops.contact import contact_forces
+
+        f = f + contact_forces(pos, scene.contact)
     return f
 
 

@@ -74,20 +74,23 @@ class DevBucket:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["buckets", "rs6"],
-    meta_fields=["rows", "n_tiles", "n_slots"],
+    meta_fields=["rows", "n_tiles", "n_slots", "n_shards"],
 )
 @dataclasses.dataclass(frozen=True)
 class SparseBlocked:
     """Device-side sparse-bucketed topology (lives in Scene.blocked).
 
     Bucket-major tile order: concatenating per-bucket results along axis 0
-    directly yields tile order (no unpermute needed)."""
+    directly yields tile order (no unpermute needed).  When n_shards > 1 the
+    bucket list is shard-major (n_shards equal-shape runs of len(buckets)/
+    n_shards buckets each) — see parallel/sparse_shard.py."""
 
     buckets: tuple           # tuple[DevBucket, ...]
     rs6: jnp.ndarray         # (n_tiles*rows, 6) static moment row sums
     rows: int
     n_tiles: int
     n_slots: int
+    n_shards: int = 1
 
 
 def _chunks_for(slab: int, max_chunk: int = 768) -> int:
@@ -109,6 +112,7 @@ def build_sparse_scene(
     external_force: np.ndarray | None = None,
     obstacles=None,
     layout: SparseLayout | None = None,
+    n_shards: int = 1,
 ):
     """Returns (scene, slot_of_particle) with Scene.blocked a SparseBlocked."""
     rest = np.asarray(points, dtype=np.float64)
@@ -116,7 +120,8 @@ def build_sparse_scene(
     dtype = cfg.dtype
     if layout is None:
         layout = build_sparse_layout(rest, 2.0 * cfg.h, rows=rows,
-                                     max_buckets=max_buckets)
+                                     max_buckets=max_buckets,
+                                     n_shards=n_shards)
     rows = layout.rows
     ns = layout.n_slots
     sop = layout.slot_of_particle
@@ -188,6 +193,7 @@ def build_sparse_scene(
         rows=rows,
         n_tiles=n_tiles,
         n_slots=ns,
+        n_shards=layout.n_shards,
     )
 
     mats = Materials(

@@ -64,6 +64,9 @@ class SparseLayout:
     particle_of_slot: np.ndarray  # (n_slots,) slot -> particle or -1
     buckets: list[SparseBucket]
     stats: dict
+    n_shards: int = 1             # >1: device-major tile order, one bucket per
+                                  # (shard, cap); every shard has identical
+                                  # bucket shapes (see build_sparse_layout)
 
     @property
     def empty_group(self) -> int:
@@ -109,12 +112,22 @@ def build_sparse_layout(
     max_buckets: int = 8,
     pad_groups: int = 8,
     cell_scale: float = 1.0,
+    n_shards: int = 1,
 ) -> SparseLayout:
     """Build the sparse candidate-group layout from rest positions.
 
     pad_groups: per-tile group counts are padded up to a multiple of this
     (8 groups = 64 slots) before bucketing, bounding the number of distinct
     slab lengths the DP sees.
+
+    n_shards > 1 prepares the layout for SPMD execution over an n_shards
+    device mesh (parallel/sparse_shard.py): each cap's tile list is padded
+    with inert tiles (rows of empty slots, empty candidate lists) to an
+    n_shards multiple, tiles are ordered SHARD-MAJOR (shard 0's tiles for
+    every cap, then shard 1's, ...), and one bucket is emitted per
+    (shard, cap) — so every shard owns a contiguous, identically-shaped
+    slice of tile space and of every bucket.  Group ids stay GLOBAL (the
+    packed gather sources are all-gathered across shards at runtime).
     """
     rest = np.asarray(rest, dtype=np.float64)
     n = rest.shape[0]
@@ -274,13 +287,43 @@ def build_sparse_layout(
     rank = np.arange(len(ct)) - first[ct]
     mat[ct, rank] = cand_group[ord2]
 
-    # ---- permute tiles BUCKET-MAJOR so each bucket is a contiguous tile range:
-    # per-bucket row gathers become free slices, the bucket-concat order equals
-    # tile order (no unpermute), and per-step s32 index staging disappears.
-    order_tiles = np.concatenate(
-        [np.flatnonzero(tile_cap == cap) for cap in caps])  # old ids, new order
-    inv_tile = np.empty(n_tiles, dtype=np.int64)
-    inv_tile[order_tiles] = np.arange(n_tiles)
+    # per-cap tile-id lists; for n_shards > 1 pad each with synthetic inert
+    # tiles (new ids >= n_tiles, rows of padding slots, empty candidate lists)
+    # so every shard gets the same tile count per cap
+    ids_per_cap = [np.flatnonzero(tile_cap == cap) for cap in caps]
+    keep = [k for k, ids in enumerate(ids_per_cap) if len(ids)]
+    caps = [caps[k] for k in keep]
+    ids_per_cap = [ids_per_cap[k] for k in keep]
+    empty_gid_old = empty_gid
+    n_tiles_new = n_tiles
+    if n_shards > 1:
+        for k, ids in enumerate(ids_per_cap):
+            pad = (-len(ids)) % n_shards
+            if pad:
+                ids_per_cap[k] = np.concatenate(
+                    [ids, np.arange(n_tiles_new, n_tiles_new + pad)])
+                n_tiles_new += pad
+        if n_tiles_new > n_tiles:
+            mat = np.vstack([mat, np.full((n_tiles_new - n_tiles, max_cap),
+                                          empty_gid_old, dtype=np.int64)])
+    body_slots = n_tiles_new * rows
+    n_slots = body_slots + GROUP
+    empty_gid = body_slots // GROUP
+
+    # ---- permute tiles BUCKET-MAJOR (shard-major first when n_shards > 1) so
+    # each bucket is a contiguous tile range: per-bucket row gathers become
+    # free slices, the bucket-concat order equals tile order (no unpermute),
+    # and per-step s32 index staging disappears.
+    if n_shards > 1:
+        chunks_ = [len(ids) // n_shards for ids in ids_per_cap]
+        order_tiles = np.concatenate(
+            [ids[d * c:(d + 1) * c]
+             for d in range(n_shards)
+             for ids, c in zip(ids_per_cap, chunks_)])
+    else:
+        order_tiles = np.concatenate(ids_per_cap)  # old ids, new order
+    inv_tile = np.empty(n_tiles_new, dtype=np.int64)
+    inv_tile[order_tiles] = np.arange(n_tiles_new)
     gpt = rows // GROUP  # groups per tile
 
     slot_of_particle = (
@@ -290,22 +333,33 @@ def build_sparse_layout(
     particle_of_slot[slot_of_particle] = np.arange(n)
 
     def remap_groups(g):
-        """Old group id -> new (the trailing empty group maps to itself)."""
-        body = g < empty_gid
+        """Old group id -> new (the trailing empty group id moved if shard
+        padding grew the body)."""
+        body = g < empty_gid_old
         safe = np.where(body, g, 0)
-        return np.where(body, inv_tile[safe // gpt] * gpt + safe % gpt, g)
+        return np.where(body, inv_tile[safe // gpt] * gpt + safe % gpt,
+                        empty_gid)
 
     buckets = []
     start = 0
-    for cap in caps:
-        ids = np.flatnonzero(tile_cap == cap)
-        if len(ids) == 0:
-            continue
-        buckets.append(SparseBucket(
-            tile_ids=np.arange(start, start + len(ids), dtype=np.int32),
-            group_ids=remap_groups(mat[ids, :cap]).astype(np.int32),
-        ))
-        start += len(ids)
+    if n_shards > 1:
+        for d in range(n_shards):
+            for ids, c, cap in zip(ids_per_cap, chunks_, caps):
+                chunk_ids = ids[d * c:(d + 1) * c]
+                buckets.append(SparseBucket(
+                    tile_ids=np.arange(start, start + len(chunk_ids),
+                                       dtype=np.int32),
+                    group_ids=remap_groups(mat[chunk_ids, :cap]).astype(np.int32),
+                ))
+                start += len(chunk_ids)
+    else:
+        for cap, ids in zip(caps, ids_per_cap):
+            buckets.append(SparseBucket(
+                tile_ids=np.arange(start, start + len(ids), dtype=np.int32),
+                group_ids=remap_groups(mat[ids, :cap]).astype(np.int32),
+            ))
+            start += len(ids)
+    n_tiles = n_tiles_new
 
     true_pairs = None  # expensive; validator computes it on demand
     padded_pairs = int(sum(len(b.tile_ids) * b.slab_len * rows for b in buckets))
@@ -313,6 +367,7 @@ def build_sparse_layout(
         "n_slots": n_slots,
         "n_tiles": n_tiles,
         "n_buckets": len(buckets),
+        "n_shards": int(n_shards),
         "bucket_caps": [int(c) for c in caps],
         "bucket_tiles": [int(len(b.tile_ids)) for b in buckets],
         "mean_groups": float(g_count.mean()),
@@ -329,6 +384,7 @@ def build_sparse_layout(
         particle_of_slot=particle_of_slot,
         buckets=buckets,
         stats=stats,
+        n_shards=int(n_shards),
     )
 
 

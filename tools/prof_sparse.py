@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp")
+    ap.add_argument("--pieces", default="",
+                    help="comma list: integ,gather,srgather,k1,k1mid,k2,elastic,step")
     args = ap.parse_args()
 
     import jax
@@ -97,36 +99,29 @@ def main():
         f = elastic_forces_sparse(p, ratio, mats, scene, cfg)
         return p + 1e-12 * f
 
-    # --- K1 only (moments per bucket, combined)
+    rs6 = sb.rs6
+
+    def moments_all(p):
+        parts = [moments_packed(
+            b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+            p, b.gidx8, cfg.h, False) for b in sb.buckets]
+        return jnp.concatenate(parts, axis=0).reshape(m, 18)
+
+    # --- K1 only (raw moment dots per bucket, combined)
     def k1_only(p):
-        pos_rows = p[:m].reshape(t, rows, 3)
-        parts = []
-        for b in sb.buckets:
-            A9b, Y9b = moments_packed(
-                b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
-                b.rows_of(pos_rows), p, b.gidx8,
-                cfg.h, False,
-            )
-            parts.append(A9b + Y9b)
-        s = jnp.concatenate(parts, axis=0)
-        return p.at[:m].add(1e-12 * s[..., :3].reshape(m, 3))
+        ay = moments_all(p)
+        return p.at[:m].add(1e-12 * ay[:, :3])
 
     # --- K1 + mid-section
     def k1_mid(p):
-        pos_rows = p[:m].reshape(t, rows, 3)
-        a_parts, y_parts = [], []
-        for b in sb.buckets:
-            A9b, Y9b = moments_packed(
-                b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
-                b.rows_of(pos_rows), p, b.gidx8,
-                cfg.h, False,
-            )
-            a_parts.append(A9b)
-            y_parts.append(Y9b)
-        A9 = jnp.concatenate(a_parts, axis=0)
-        Y9 = jnp.concatenate(y_parts, axis=0)
-        A = mat3.from_trailing(A9.reshape(m, 3, 3))
-        Y = mat3.from_trailing(Y9.reshape(m, 3, 3))
+        ay = moments_all(p)
+        pos_m = p[:m]
+        A_raw = mat3.transpose3(mat3.from_trailing(ay[:, :9].reshape(m, 3, 3)))
+        Y_raw = mat3.transpose3(mat3.from_trailing(ay[:, 9:18].reshape(m, 3, 3)))
+        A = mat3.pack([[A_raw[a, b] - pos_m[:, a] * rs6[:, b]
+                        for b in range(3)] for a in range(3)])
+        Y = mat3.pack([[Y_raw[a, b] - pos_m[:, a] * rs6[:, 3 + b]
+                        for b in range(3)] for a in range(3)])
         R, F, S, M, G, vol_m = _mid_section(A, Y, ratio, mats, scene, cfg, m)
         return p.at[:m].add(1e-12 * mat3.to_trailing(M).reshape(m, 9)[:, :3])
 
@@ -152,18 +147,20 @@ def main():
 
     # --- K2 warp forces only (fixed cheap F/M/SR derived from p)
     def k2_only(p):
-        pos_rows = p[:m].reshape(t, rows, 3)
-        f9_rows = jnp.tile(pos_rows, (1, 1, 3))          # (t, rows, 9)
-        m9_rows = f9_rows
-        sr15 = jnp.concatenate([p, p, p, p, p], axis=1)   # (ns, 15)
-        vol_rows_ = scene.materials.volume[:m].reshape(t, rows)
+        from softbody_tpu.ops.pallas.packed import (
+            pack_components, rows_from_components,
+        )
+
+        pm = p[:m]
+        comps19 = [pm[:, k % 3] for k in range(18)] + [mats.volume[:m]]
+        fm_rows = rows_from_components(comps19, t, rows)
+        sr_packed = pack_components(
+            [p[:, k % 3] for k in range(15)], 16, 8, n_total=sb.n_slots)
         f_parts = []
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
                 b.restT_rows, b.restT_slab, b.vol_slab,
-                b.rows_of(f9_rows),
-                b.rows_of(m9_rows), sr15,
-                b.rows_of(vol_rows_), b.gidx8,
+                b.rows_of(fm_rows), sr_packed, b.gidx8,
                 cfg.h, False, chunks=_chunks_for(b.slab_len),
             ))
         f = jnp.concatenate(f_parts, axis=0)
@@ -181,22 +178,28 @@ def main():
         pn = p + (cfg.dt * vel + 0.5 * cfg.dt**2 * f1 / mats.mass[:, None]) * mats.free
         return pn
 
-    timed("integrator-shell", integ_only)
-    timed("pos-slab-gather", gather_only)
-    timed("sr-slab-gather", sr_gather_only)
-    timed("K1 moments", k1_only)
-    timed("K1+mid", k1_mid)
-    timed("K2 warp forces", k2_only)
-    e = timed("full elastic eval", full_eval)
-
     # --- full step (2 evals, trapezoidal)
     def full_step(p):
         st = ParticleState(p, jnp.zeros_like(p), jnp.zeros_like(p))
         st2 = step(st, ratio, scene, cfg)
         return st2.position
 
-    s = timed("full step", full_step)
-    print(f"-> {n / (s/1e3):.3e} particle-steps/s at N={n}")
+    pieces = {
+        "integ": ("integrator-shell", integ_only),
+        "gather": ("pos-slab-gather", gather_only),
+        "srgather": ("sr-slab-gather", sr_gather_only),
+        "k1": ("K1 moments", k1_only),
+        "k1mid": ("K1+mid", k1_mid),
+        "k2": ("K2 warp forces", k2_only),
+        "elastic": ("full elastic eval", full_eval),
+        "step": ("full step", full_step),
+    }
+    sel = args.pieces.split(",") if args.pieces else list(pieces)
+    for key in sel:
+        name, fn = pieces[key]
+        per = timed(name, fn)
+        if key == "step":
+            print(f"-> {n / (per/1e3):.3e} particle-steps/s at N={n}")
 
 
 if __name__ == "__main__":
