@@ -68,6 +68,16 @@ class SimConfig:
                                      # bf16 with f32 accumulation (~0.4% force
                                      # noise; see test_sparse bf16 drift test)
     max_neighbors: int = 64          # K: padded neighbor-table width
+    fused_mid: bool = False          # sparse/pallas warp mode: fuse the
+                                     # mid-section (polar, F, S, M) into the K1
+                                     # kernel epilogue (pair_kernels.
+                                     # _moments_mid_kernel).  MEASURED 3x
+                                     # SLOWER at 100k (26 vs 8.3 ms/step): the
+                                     # mid math then runs per-tile on (rows, 1)
+                                     # columns (32/1024 of a VPU tile busy)
+                                     # instead of one lane-packed XLA pass over
+                                     # all m rows.  Kept as an option for
+                                     # rows>=128 layouts.
     remat: bool = True               # jax.checkpoint the step fn inside lax.scan
     backend: str = "gather"          # "gather" (N,K tables) | "blocked" (slot space,
                                      # XLA ref) | "pallas" (slot space, fused kernels)

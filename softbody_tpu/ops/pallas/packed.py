@@ -26,8 +26,15 @@ from . import pair_kernels as pk
 # temps are lane-padded by XLA (F -> 128, e.g. 14.2x for F=9), so full-size
 # temps blow HBM at production scale.  Chunks run SEQUENTIALLY via lax.scan
 # (a Python loop's chunks coexist in XLA's buffer schedule — measured: 9
-# concurrent chunks still OOM'd).
-_BWD_TILE_CHUNK = 512
+# concurrent chunks still OOM'd).  The v3 kernels emit LANE-MAJOR cotangents
+# ((t, F, slab) — no 128-lane padding), so much larger chunks fit now; the
+# env knob exists for measurement.
+import os as _os
+
+# MEASURED at 100k on v5e: 512 -> 3.33e6, 2048 -> 3.90e6 fwd+bwd
+# particle-steps/s (fewer sequential chunks pipeline better); 4096 (= one
+# chunk) blew past the compile budget.
+_BWD_TILE_CHUNK = int(_os.environ.get("SOFTBODY_BWD_TILE_CHUNK", "2048"))
 
 
 def _scan_chunks(body, per_tile_args, t, acc_init):
@@ -111,16 +118,24 @@ def gather_packed(packed, gidx, slab, pad_width):
     return rows.reshape(t, slab, pad_width)
 
 
-def gather_packed_T(packed, gidx, slab, pad_width):
-    """Like :func:`gather_packed` but LANE-MAJOR: (t, pad_width, slab).
+def gather_packed_T(packed, gidx, slab, pad_width, take=None):
+    """Like :func:`gather_packed` but LANE-MAJOR: (t, take or pad_width, slab).
 
     Goes through (t, G, slots, fields) -> permute -> (t, pad_width, slab):
     reshaping the gather output to (t, slab, pad_width) and transposing
-    materializes a 128-lane-padded intermediate (measured 5x slower)."""
+    materializes a 128-lane-padded intermediate (measured 5x slower).
+
+    ``take``: keep only the first ``take`` field rows (sliced BEFORE the
+    transpose, so padding fields are never materialized in the lane-major
+    buffer the kernel stages — e.g. positions use 3 of their 8 packed
+    floats; shipping all 8 staged 2.7x the necessary bytes)."""
     t, G = gidx.shape
     group = slab // G
     rows = jnp.take(packed, gidx.reshape(-1), axis=0)
     x = rows.reshape(t, G, group, pad_width)
+    if take is not None and take < pad_width:
+        x = x[:, :, :, :take]
+        pad_width = take
     return jnp.transpose(x, (0, 3, 1, 2)).reshape(t, pad_width, slab)
 
 
@@ -187,7 +202,7 @@ def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
     # 128 lanes (16x HBM bloat, staged every scan iteration)
     pos_slabT = gather_packed_T(
         pack_components([pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]],
-                        8, 8), gidx8, slab, 8)
+                        8, 8), gidx8, slab, 8, take=3)
     out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
                                pos_slabT, h, interpret)
     return out, None
@@ -242,7 +257,7 @@ def moments_packed_src(restT_rows, restT_slab, mass_slab, vol_slab,
 def _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
                      pos_packed, gidx8, h, interpret):
     slab = restT_slab.shape[2]
-    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8)
+    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=3)
     return pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
                                 pos_slabT, h, interpret)
 
@@ -275,6 +290,140 @@ def _moments_src_vjp_bwd(h, interpret, res, day):
 
 
 moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)
+
+
+# ------------------------------------------------------- fused K1 + mid-section
+def _mid_xla(ay, dyn, stat, corotated, sweeps):
+    """XLA reference of the fused kernel's epilogue: (t, rows, {18, 4, 18}) ->
+    (fm (t, rows, 19), sr (t, rows, 16)).  Used by the fused kernel's VJP (the
+    backward differentiates THIS, with the kernel's raw dots as residual) and
+    by parity tests."""
+    from .. import mat3
+    from ...sim.blocked import stvk_stress_m3
+
+    t, rows, _ = ay.shape
+    m = t * rows
+    ay2 = ay.reshape(m, 18)
+    dyn2 = dyn.reshape(m, 4)
+    st2 = stat.reshape(m, 18)
+    pos = [dyn2[:, a] for a in range(3)]
+    scale = dyn2[:, 3]
+    A = mat3.pack([[ay2[:, 3 * b + a] - pos[a] * st2[:, b] for b in range(3)]
+                   for a in range(3)])
+    Y = mat3.pack([[ay2[:, 3 * (3 + b) + a] - pos[a] * st2[:, 3 + b]
+                    for b in range(3)] for a in range(3)])
+    mu, lam, vol = st2[:, 6], st2[:, 7], st2[:, 8]
+    rc = mat3.pack([[st2[:, 9 + 3 * a + b] for b in range(3)] for a in range(3)])
+    if corotated:
+        R = mat3.polar3(A, sweeps)
+        nab = mat3.matTmul3(R, Y) - rc
+    else:
+        R = mat3.eye3(A)
+        nab = Y - rc
+    F = mat3.eye3(A) + mat3.transpose3(nab)
+    S = stvk_stress_m3(F, mu, lam, scale)
+    M = mat3.matmul3(R, mat3.matmul3(F, S))
+    fm = jnp.stack(
+        [F[a, b] for a in range(3) for b in range(3)]
+        + [M[a, b] for a in range(3) for b in range(3)] + [vol], axis=-1)
+    zero = jnp.zeros_like(vol)
+    sr = jnp.stack(
+        [S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2]]
+        + [R[a, c] for c in range(3) for a in range(3)] + [zero], axis=-1)
+    return fm.reshape(t, rows, 19), sr.reshape(t, rows, 16)
+
+
+def _fused_call(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
+                stat_rows, dyn_rows, h, corotated, sweeps, interpret, emit_ay):
+    from jax.experimental import pallas as pl
+
+    t, _, rows = restT_rows.shape
+    slab = restT_slab.shape[2]
+    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=3)
+    kernel = pk._batched(
+        functools.partial(pk._moments_mid_kernel, h=h, corotated=corotated,
+                          sweeps=sweeps), 9 + emit_ay)
+    args, t_pad = pk._pad_tiles(
+        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
+         pos_slabT, stat_rows, dyn_rows], t)
+    out_shapes = [
+        jax.ShapeDtypeStruct((t_pad, rows, 19), restT_rows.dtype),
+        jax.ShapeDtypeStruct((t_pad, rows, 16), restT_rows.dtype),
+    ]
+    out_specs = pk._tile_specs([(rows, 19), (rows, 16)])
+    if emit_ay:
+        out_shapes.append(jax.ShapeDtypeStruct((t_pad, rows, 18), restT_rows.dtype))
+        out_specs = pk._tile_specs([(rows, 19), (rows, 16), (rows, 18)])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(t_pad // pk._TILE_BATCH,),
+        in_specs=pk._tile_specs([
+            (3, rows), (3, slab), (1, slab), (1, slab), (3, slab),
+            (rows, 18), (rows, 4),
+        ]),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*args)
+    return tuple(o[:t] for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def fused_k1mid(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
+                stat_rows, dyn_rows, h, corotated=True, sweeps=8,
+                interpret=False):
+    """Fused K1 + mid-section (ops/pallas/pair_kernels._moments_mid_kernel).
+
+    Differentiable wrt ``pos_packed`` (neighbor slab side) and ``dyn_rows``
+    ([pos_i | stiffness scale] — the row side and the design variable's
+    path).  The VJP reconstructs the mid-section in XLA from the kernel's raw
+    moment dots (residual ``ay``), differentiates that, then routes ``day``
+    through the linear moments-backward kernel."""
+    fm, sr = _fused_call(restT_rows, restT_slab, mass_slab, vol_slab,
+                         pos_packed, gidx8, stat_rows, dyn_rows,
+                         h, corotated, sweeps, interpret, emit_ay=False)
+    return fm, sr
+
+
+def _fused_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed,
+                   gidx8, stat_rows, dyn_rows, h, corotated, sweeps, interpret):
+    fm, sr, ay = _fused_call(restT_rows, restT_slab, mass_slab, vol_slab,
+                             pos_packed, gidx8, stat_rows, dyn_rows,
+                             h, corotated, sweeps, interpret, emit_ay=True)
+    res = (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
+           pos_packed.shape[0], stat_rows, dyn_rows, ay)
+    return (fm, sr), res
+
+
+def _fused_vjp_bwd(h, corotated, sweeps, interpret, res, cots):
+    (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_rows_src,
+     stat_rows, dyn_rows, ay) = res
+    dfm, dsr = cots
+
+    def g(ay_, dyn_):
+        return _mid_xla(ay_, dyn_, stat_rows, corotated, sweeps)
+
+    _, vjp = jax.vjp(g, ay, dyn_rows)
+    day, ddyn = vjp((dfm, dsr))
+
+    t = restT_rows.shape[0]
+
+    def body(args):
+        rr, rs, ms, vs, gi, day_c = args
+        dpsT_c = pk._moments_vjp_bwd(
+            h, interpret, (rr, rs, ms, vs, 3), day_c
+        )[4]
+        return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
+                jnp.zeros((day_c.shape[0],), day_c.dtype))
+
+    dpos_packed, _ = _scan_chunks(
+        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, day), t,
+        jnp.zeros((n_rows_src, 64), day.dtype),
+    )
+    return (None, None, None, None, dpos_packed, None, None, ddyn)
+
+
+fused_k1mid.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
 # --------------------------------------------------------------------- forces (separable)

@@ -37,11 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _WARP_CHUNKS = 3
-# tiles per kernel invocation.  MEASURED: batching hurts (4 -> 1.17e6 vs
-# 1 -> 1.74e6 pps at 21k) — bigger blocks pipeline worse, so the ~5.6us/tile
-# cost is block VMEM traffic, not invocation overhead.  Keep 1; the knob and
-# machinery remain for revisiting alongside slab-size reductions.
-_TILE_BATCH = 1
+# tiles per kernel invocation.  MEASURED (varcol era): batching hurt (4 ->
+# 1.17e6 vs 1 -> 1.74e6 pps at 21k) — block VMEM staging, not invocation
+# overhead.  The v3 fused/lane-major operands changed the staging profile;
+# the env knob lets the sweep rerun per layout generation.
+import os as _os
+
+_TILE_BATCH = int(_os.environ.get("SOFTBODY_TILE_BATCH", "1"))
 
 
 class _Sub:
@@ -303,6 +305,94 @@ def _moments_vjp_bwd(h, interpret, res, day):
 
 
 moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
+
+
+# ============================================================ fused K1 + mid-section
+def _moments_mid_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref,
+                        vol_slab_ref, pos_slabT_ref, stat_ref, dyn_ref,
+                        fm_ref, sr_ref, ay_ref=None, *, h, corotated, sweeps):
+    """K1 moment dots + the whole per-slot mid-section (correction, polar
+    rotation, deformation gradient, StVK stress, M = R F S) fused into one
+    kernel.  Emits the two K2 operand records directly:
+
+      fm (rows, 19) = [F_9 row-major | M_9 row-major | V_i]
+      sr (rows, 16) = [S_6 | R^T_9 (cols [3c+a] = R[a][c]) | pad]
+
+    so the XLA between the kernels collapses to two free reshapes (the sr
+    packed gather source is a row-major reshape of this output).
+
+    stat_ref (1, rows, 18): [rs6_A(3) | rs6_Y(3) | mu | lam | vol | rest_corr_9
+    row-major].  dyn_ref (1, rows, 4): [pos_i x y z | stiffness scale].
+    ay_ref: optional raw-dots output (the custom-VJP residual — the backward
+    reconstructs the mid-section in XLA from it, see packed.fused_k1mid).
+
+    The mid math runs on (rows, 1) component columns via mat3's component
+    helpers — pure elementwise VPU chains, exactly the lane-packed XLA
+    formulation, so results match the unfused path to f32 rounding.
+    """
+    from .. import mat3
+
+    rr = restT_rows_ref[0]          # (3, rows)
+    rs = restT_slab_ref[0]          # (3, slab)
+    dx, w, gfac = _pair_coeffs(rr, rs, h)
+    cA = w * mass_slab_ref[0]
+    gv = gfac * vol_slab_ref[0]
+    pos_slabT = pos_slabT_ref[0]    # (pw, slab)
+    rows = rr.shape[1]
+    stat = stat_ref[0]              # (rows, 18)
+    dyn = dyn_ref[0]                # (rows, 4)
+
+    lhs = jnp.concatenate(
+        [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)], axis=0
+    )
+    dots = _dot_t(lhs, pos_slabT)                    # (6 rows, pw)
+    if ay_ref is not None:
+        ay_ref[0] = jnp.concatenate(
+            [dots[b * rows:(b + 1) * rows, :3] for b in range(6)], axis=1,
+        )
+
+    def comp(block, a):
+        return dots[block * rows:(block + 1) * rows, a:a + 1]   # (rows, 1)
+
+    def stat_col(c):
+        return stat[:, c:c + 1]
+
+    pos_i = [dyn[:, a:a + 1] for a in range(3)]
+    scale = dyn[:, 3:4]
+    A = [[comp(b, a) - pos_i[a] * stat_col(b) for b in range(3)]
+         for a in range(3)]
+    Y = [[comp(3 + b, a) - pos_i[a] * stat_col(3 + b) for b in range(3)]
+         for a in range(3)]
+    mu = stat_col(6)
+    lam = stat_col(7)
+    vol = stat_col(8)
+    rc = [[stat_col(9 + 3 * a + b) for b in range(3)] for a in range(3)]
+
+    one = jnp.ones_like(scale)
+    zero = jnp.zeros_like(scale)
+    eye = [[one if i == j else zero for j in range(3)] for i in range(3)]
+    if corotated:
+        U, _, V = mat3._svd3_components(A, sweeps)
+        R = mat3._mmt(U, V)
+        RtY = mat3._mtm(R, Y)
+        nab = [[RtY[a][b] - rc[a][b] for b in range(3)] for a in range(3)]
+    else:
+        R = eye
+        nab = [[Y[a][b] - rc[a][b] for b in range(3)] for a in range(3)]
+    F = [[eye[a][b] + nab[b][a] for b in range(3)] for a in range(3)]
+    FtF = mat3._mtm(F, F)
+    E = [[0.5 * (FtF[a][b] - eye[a][b]) for b in range(3)] for a in range(3)]
+    tr = E[0][0] + E[1][1] + E[2][2]
+    S = [[(2.0 * mu * E[a][b] + (lam * tr if a == b else zero)) * scale
+          for b in range(3)] for a in range(3)]
+    M = mat3._mm(R, mat3._mm(F, S))
+
+    fm_ref[0] = jnp.concatenate(
+        [F[a][b] for a in range(3) for b in range(3)]
+        + [M[a][b] for a in range(3) for b in range(3)] + [vol], axis=1)
+    sr_ref[0] = jnp.concatenate(
+        [S[0][0], S[0][1], S[0][2], S[1][1], S[1][2], S[2][2]]
+        + [R[a][c] for c in range(3) for a in range(3)] + [zero], axis=1)
 
 
 # ============================================================ forces (K2, separable)

@@ -106,24 +106,25 @@ def build_halo_plan(idx: np.ndarray, n_devices: int) -> HaloPlan:
             else:
                 recv_rows[(d, b)] = np.zeros(0, dtype=np.int64)
 
-    # remap global idx -> local+halo addresses per device
+    # remap global idx -> local+halo addresses per device (vectorized:
+    # first-occurrence unique over the concatenated receive blocks plays the
+    # role of dict.setdefault, then one searchsorted lookup per device)
     local_idx = np.zeros((n_devices, shard, K), dtype=np.int64)
     for d in range(n_devices):
-        mapping = {}
+        keys, vals = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)]
         for b in range(2 * hops):
-            base = shard + b * halo
-            for slot, g in enumerate(recv_rows[(d, b)]):
-                mapping.setdefault(int(g), base + slot)
+            g = recv_rows[(d, b)]
+            keys.append(np.asarray(g, np.int64))
+            vals.append(shard + b * halo + np.arange(len(g), dtype=np.int64))
+        keys = np.concatenate(keys)
+        vals = np.concatenate(vals)
+        uk, first = np.unique(keys, return_index=True)
+        uv = vals[first]
         rows = idx[d * shard:(d + 1) * shard]
         own = owner[d * shard:(d + 1) * shard]
-        flat = rows.reshape(-1).copy()
-        own_flat = own.reshape(-1)
-        for i in range(flat.size):
-            if own_flat[i] == d:
-                flat[i] = flat[i] - d * shard
-            else:
-                flat[i] = mapping[int(flat[i])]
-        local_idx[d] = flat.reshape(shard, K)
+        pos = np.clip(np.searchsorted(uk, rows), 0, max(len(uk) - 1, 0))
+        mapped = uv[pos] if len(uk) else np.zeros_like(rows)
+        local_idx[d] = np.where(own == d, rows - d * shard, mapped)
 
     return HaloPlan(
         send_idx=jnp.asarray(send_idx, jnp.int32),

@@ -73,7 +73,7 @@ class DevBucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets", "rs6"],
+    data_fields=["buckets", "rs6", "stat_rows"],
     meta_fields=["rows", "n_tiles", "n_slots", "n_shards"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +91,9 @@ class SparseBlocked:
     n_tiles: int
     n_slots: int
     n_shards: int = 1
+    # (t, rows, 18) fused static per-row record [rs6 | mu | lam | vol | rc_9]
+    # for the fused K1+mid kernel (None -> unfused path)
+    stat_rows: jnp.ndarray | None = None
 
 
 def _chunks_for(slab: int, max_chunk: int = 768) -> int:
@@ -187,6 +190,11 @@ def build_sparse_scene(
 
     buckets = tuple(make_bucket(b, vol_np=volume) for b in layout.buckets)
     rs6 = _static_rowsums(buckets, m, ns, cfg, dtype)
+    stat_rows = jnp.concatenate([
+        rs6,
+        jnp.asarray(np.stack([mu[:m], lam[:m], volume[:m]], axis=1), dtype),
+        jnp.asarray(rest_corr9, dtype),
+    ], axis=1).reshape(n_tiles, rows, 18)
     sb = SparseBlocked(
         buckets=buckets,
         rs6=rs6,
@@ -194,6 +202,7 @@ def build_sparse_scene(
         n_tiles=n_tiles,
         n_slots=ns,
         n_shards=layout.n_shards,
+        stat_rows=stat_rows,
     )
 
     mats = Materials(
@@ -257,6 +266,45 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
             p_slots, b.gidx8, cfg.h, interpret) for b in sb.buckets]
         # bucket-major tile order: concat IS tile order
         return jnp.concatenate(parts, axis=0).reshape(m, 18)
+
+    # fused K1+mid path: one kernel emits the K2 operand records directly;
+    # the sr packed gather source is then a FREE row-major reshape
+    use_fused = (cfg.fused_mid and cfg.pair_def_grad == "i"
+                 and cfg.pair_dtype != "bfloat16" and sb.stat_rows is not None)
+    if use_fused:
+        from ..ops.pallas.packed import (
+            fused_k1mid, pack_components, rows_from_components,
+        )
+
+        pos_m_ = pos_slots[:m]
+        scale = cfg.stiffness_scale(ratio_slots[:m])
+        dyn_rows = rows_from_components(
+            [pos_m_[:, 0], pos_m_[:, 1], pos_m_[:, 2], scale], t, rows)
+        pos_packed = pack_components(
+            [pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]], 8, 8)
+        fm_parts, sr_parts = [], []
+        for b in sb.buckets:
+            fm_b, sr_b = fused_k1mid(
+                b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+                pos_packed, b.gidx8, b.rows_of(sb.stat_rows),
+                b.rows_of(dyn_rows), cfg.h, cfg.corotated, 8, interpret)
+            fm_parts.append(fm_b)
+            sr_parts.append(sr_b)
+        fm_rows = jnp.concatenate(fm_parts, axis=0)
+        sr16 = jnp.concatenate(sr_parts, axis=0).reshape(m, 16)
+        sr_packed = jnp.concatenate(
+            [sr16, jnp.zeros((sb.n_slots - m, 16), dtype)], axis=0,
+        ).reshape(sb.n_slots // GROUP, GROUP * 16)
+        f_parts = []
+        for b in sb.buckets:
+            f_parts.append(forces_warp_packed(
+                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.rows_of(fm_rows), sr_packed, b.gidx8,
+                cfg.h, interpret, chunks=_chunks_for(b.slab_len),
+            ))
+        f = jnp.concatenate(f_parts, axis=0)
+        out = jnp.zeros_like(pos_slots)
+        return out.at[:m].set(f.reshape(m, 3))
 
     ay = moments_all(pos_slots)
     rs6 = sb.rs6                                               # (m, 6), col b

@@ -178,11 +178,33 @@ def main():
         pn = p + (cfg.dt * vel + 0.5 * cfg.dt**2 * f1 / mats.mass[:, None]) * mats.free
         return pn
 
-    # --- full step (2 evals, trapezoidal)
+    # --- full step: carry the WHOLE ParticleState through the scan.  A
+    # position-only carry lets XLA dead-code-eliminate the elastic eval
+    # (st2.position alone doesn't depend on it under the trapezoidal order).
+    def timed_step(name):
+        @jax.jit
+        def run(p):
+            st0 = ParticleState(p, jnp.zeros_like(p), jnp.zeros_like(p))
+
+            def body(c, _):
+                return step(c, ratio, scene, cfg), None
+
+            out, _ = jax.lax.scan(body, st0, None, length=args.iters)
+            return out.position
+        r = run(pos0)
+        jax.block_until_ready(r)
+        best = np.inf
+        for _ in range(3):
+            tt = time.perf_counter()
+            r = run(pos0)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - tt)
+        per = best / args.iters * 1e3
+        print(f"{name:28s} {per:8.3f} ms/iter")
+        return per
+
     def full_step(p):
-        st = ParticleState(p, jnp.zeros_like(p), jnp.zeros_like(p))
-        st2 = step(st, ratio, scene, cfg)
-        return st2.position
+        raise SystemExit("use timed_step")
 
     pieces = {
         "integ": ("integrator-shell", integ_only),
@@ -192,14 +214,15 @@ def main():
         "k1mid": ("K1+mid", k1_mid),
         "k2": ("K2 warp forces", k2_only),
         "elastic": ("full elastic eval", full_eval),
-        "step": ("full step", full_step),
     }
-    sel = args.pieces.split(",") if args.pieces else list(pieces)
+    sel = args.pieces.split(",") if args.pieces else list(pieces) + ["step"]
     for key in sel:
-        name, fn = pieces[key]
-        per = timed(name, fn)
         if key == "step":
+            per = timed_step("full step")
             print(f"-> {n / (per/1e3):.3e} particle-steps/s at N={n}")
+        else:
+            name, fn = pieces[key]
+            timed(name, fn)
 
 
 if __name__ == "__main__":
