@@ -33,7 +33,7 @@ from ..topology.blocks import SlotLayout, build_slot_layout
     jax.tree_util.register_dataclass,
     data_fields=[
         "tile_start", "slab_start", "rest_slab", "vol_slab", "mass_slab",
-        "rest_rows", "restT_rows", "restT_slab", "gidx8", "gidx4", "rs6",
+        "rest_rows", "restT_rows", "static_slab", "gidx8", "gidx4", "rs6",
     ],
     meta_fields=["rows", "slab_len", "run_len", "n_tiles", "n_slots"],
 )
@@ -48,7 +48,8 @@ class Blocked:
     mass_slab: jnp.ndarray    # (n_tiles, slab) masses of slab slots
     rest_rows: jnp.ndarray    # (n_tiles, rows, 3) rest positions of tile rows
     restT_rows: jnp.ndarray   # (n_tiles, 3, rows) transposed (Pallas pair tensors)
-    restT_slab: jnp.ndarray   # (n_tiles, 3, slab) transposed
+    static_slab: jnp.ndarray | None  # (n_tiles, 5, slab) [restT_3 | mass | vol]
+                              # fused Pallas static operand (built after volume)
     gidx8: jnp.ndarray        # (n_tiles, slab/8)  packed-row indices (pos/G, 16f/slot)
     gidx4: jnp.ndarray        # (n_tiles, slab/4)  packed-row indices (S|R, 32f/slot)
     rs6: jnp.ndarray | None   # (n_tiles*rows, 6) static moment row sums (build-time)

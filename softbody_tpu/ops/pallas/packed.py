@@ -182,20 +182,20 @@ def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
 
 
 # --------------------------------------------------------------------- moments
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def moments_packed(restT_rows, restT_slab, mass_slab, vol_slab,
-                   pos_slots, gidx8, h, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def moments_packed(restT_rows, static_slab, pos_slots, gidx8, h,
+                   interpret=False):
     """Raw A/Y moment dots with packed-row slab gather: (t, rows, 18) fused
-    [A | Y] in the transposed [3b+a] layout.  pos_slots: (n_slots, 3).
+    [A | Y] in the transposed [3b+a] layout.  pos_slots: (n_slots, 3);
+    static_slab: (t, 5, slab) = [restT_3 | mass | vol].
     Callers subtract the static-rowsum correction (pos_i x rest row sums) in
     XLA — see elastic_forces_sparse."""
-    return _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+    return _moments_packed_fwd(restT_rows, static_slab,
                                pos_slots, gidx8, h, interpret)[0]
 
 
-def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                        pos_slots, gidx8, h, interpret):
-    slab = restT_slab.shape[2]
+def _moments_packed_fwd(restT_rows, static_slab, pos_slots, gidx8, h, interpret):
+    slab = static_slab.shape[2]
     # 8 f/slot (64-float rows): gather cost is per-ROW, so narrower rows halve
     # staged source bytes; the slab then ships LANE-MAJOR (t, 8, slab) — a
     # (slab, 8) pallas operand would be retiled with the minor dim padded to
@@ -203,46 +203,41 @@ def _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
     pos_slabT = gather_packed_T(
         pack_components([pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]],
                         8, 8), gidx8, slab, 8, take=3)
-    out = pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                               pos_slabT, h, interpret)
+    out = pk._moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
     return out, None
 
 
-def _moments_packed_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                            pos_slots, gidx8, h, interpret):
-    out, _ = _moments_packed_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
+def _moments_packed_vjp_fwd(restT_rows, static_slab, pos_slots, gidx8,
+                            h, interpret):
+    out, _ = _moments_packed_fwd(restT_rows, static_slab,
                                  pos_slots, gidx8, h, interpret)
-    return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
-                 pos_slots.shape[0])
+    return out, (restT_rows, static_slab, gidx8, pos_slots.shape[0])
 
 
 def _moments_packed_vjp_bwd(h, interpret, res, day):
-    restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_slots = res
-    slab = restT_slab.shape[2]
+    restT_rows, static_slab, gidx8, n_slots = res
     t = restT_rows.shape[0]
 
     def body(args):
-        rr, rs, ms, vs, gi, day_c = args
-        dpsT_c = pk._moments_vjp_bwd(
-            h, interpret, (rr, rs, ms, vs, 3), day_c
-        )[4]
+        rr, st, gi, day_c = args
+        dpsT_c = pk._moments_vjp_bwd(h, interpret, (rr, st, 3), day_c)[2]
         # outs leaves need a leading chunk dim for _scan_chunks' restacking
         return (scatter_packed_add_T(dpsT_c, gi, n_slots, 3, 8, 8),
                 jnp.zeros((day_c.shape[0],), day_c.dtype))
 
     dpos, _ = _scan_chunks(
-        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, day), t,
+        body, (restT_rows, static_slab, gidx8, day), t,
         jnp.zeros((n_slots, 3), day.dtype),
     )
-    return (None, None, None, None, dpos, None)
+    return (None, None, dpos, None)
 
 
 moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def moments_packed_src(restT_rows, restT_slab, mass_slab, vol_slab,
-                       pos_packed, gidx8, h, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def moments_packed_src(restT_rows, static_slab, pos_packed, gidx8, h,
+                       interpret=False):
     """Like :func:`moments_packed` but takes the PRE-PACKED (n_rows, 64)
     position source (8 f/slot, build with ``pack_components``) directly.
 
@@ -250,43 +245,38 @@ def moments_packed_src(restT_rows, restT_slab, mass_slab, vol_slab,
     all-gather ONE shared source per step; the VJP returns the PACKED source
     cotangent, whose all-gather transpose (psum_scatter) routes each shard's
     contribution home."""
-    return _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                            pos_packed, gidx8, h, interpret)
+    return _moments_src_fwd(restT_rows, static_slab, pos_packed, gidx8,
+                            h, interpret)
 
 
-def _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                     pos_packed, gidx8, h, interpret):
-    slab = restT_slab.shape[2]
+def _moments_src_fwd(restT_rows, static_slab, pos_packed, gidx8, h, interpret):
+    slab = static_slab.shape[2]
     pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=3)
-    return pk._moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                                pos_slabT, h, interpret)
+    return pk._moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
 
 
-def _moments_src_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                         pos_packed, gidx8, h, interpret):
-    out = _moments_src_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                           pos_packed, gidx8, h, interpret)
-    return out, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
-                 pos_packed.shape[0])
+def _moments_src_vjp_fwd(restT_rows, static_slab, pos_packed, gidx8,
+                         h, interpret):
+    out = _moments_src_fwd(restT_rows, static_slab, pos_packed, gidx8,
+                           h, interpret)
+    return out, (restT_rows, static_slab, gidx8, pos_packed.shape[0])
 
 
 def _moments_src_vjp_bwd(h, interpret, res, day):
-    restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_rows_src = res
+    restT_rows, static_slab, gidx8, n_rows_src = res
     t = restT_rows.shape[0]
 
     def body(args):
-        rr, rs, ms, vs, gi, day_c = args
-        dpsT_c = pk._moments_vjp_bwd(
-            h, interpret, (rr, rs, ms, vs, 3), day_c
-        )[4]
+        rr, st, gi, day_c = args
+        dpsT_c = pk._moments_vjp_bwd(h, interpret, (rr, st, 3), day_c)[2]
         return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
                 jnp.zeros((day_c.shape[0],), day_c.dtype))
 
     dsrc, _ = _scan_chunks(
-        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, day), t,
+        body, (restT_rows, static_slab, gidx8, day), t,
         jnp.zeros((n_rows_src, 64), day.dtype),
     )
-    return (None, None, None, None, dsrc, None)
+    return (None, None, dsrc, None)
 
 
 moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)
@@ -333,19 +323,18 @@ def _mid_xla(ay, dyn, stat, corotated, sweeps):
     return fm.reshape(t, rows, 19), sr.reshape(t, rows, 16)
 
 
-def _fused_call(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
+def _fused_call(restT_rows, static_slab, pos_packed, gidx8,
                 stat_rows, dyn_rows, h, corotated, sweeps, interpret, emit_ay):
     from jax.experimental import pallas as pl
 
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=3)
     kernel = pk._batched(
         functools.partial(pk._moments_mid_kernel, h=h, corotated=corotated,
-                          sweeps=sweeps), 9 + emit_ay)
+                          sweeps=sweeps), 7 + emit_ay)
     args, t_pad = pk._pad_tiles(
-        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
-         pos_slabT, stat_rows, dyn_rows], t)
+        [restT_rows, static_slab, pos_slabT, stat_rows, dyn_rows], t)
     out_shapes = [
         jax.ShapeDtypeStruct((t_pad, rows, 19), restT_rows.dtype),
         jax.ShapeDtypeStruct((t_pad, rows, 16), restT_rows.dtype),
@@ -358,7 +347,7 @@ def _fused_call(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
         kernel,
         grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (3, slab),
+            (3, rows), (5, slab), (3, slab),
             (rows, 18), (rows, 4),
         ]),
         out_specs=out_specs,
@@ -368,8 +357,8 @@ def _fused_call(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
     return tuple(o[:t] for o in outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def fused_k1mid(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_k1mid(restT_rows, static_slab, pos_packed, gidx8,
                 stat_rows, dyn_rows, h, corotated=True, sweeps=8,
                 interpret=False):
     """Fused K1 + mid-section (ops/pallas/pair_kernels._moments_mid_kernel).
@@ -379,24 +368,24 @@ def fused_k1mid(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed, gidx8,
     path).  The VJP reconstructs the mid-section in XLA from the kernel's raw
     moment dots (residual ``ay``), differentiates that, then routes ``day``
     through the linear moments-backward kernel."""
-    fm, sr = _fused_call(restT_rows, restT_slab, mass_slab, vol_slab,
+    fm, sr = _fused_call(restT_rows, static_slab,
                          pos_packed, gidx8, stat_rows, dyn_rows,
                          h, corotated, sweeps, interpret, emit_ay=False)
     return fm, sr
 
 
-def _fused_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab, pos_packed,
+def _fused_vjp_fwd(restT_rows, static_slab, pos_packed,
                    gidx8, stat_rows, dyn_rows, h, corotated, sweeps, interpret):
-    fm, sr, ay = _fused_call(restT_rows, restT_slab, mass_slab, vol_slab,
+    fm, sr, ay = _fused_call(restT_rows, static_slab,
                              pos_packed, gidx8, stat_rows, dyn_rows,
                              h, corotated, sweeps, interpret, emit_ay=True)
-    res = (restT_rows, restT_slab, mass_slab, vol_slab, gidx8,
+    res = (restT_rows, static_slab, gidx8,
            pos_packed.shape[0], stat_rows, dyn_rows, ay)
     return (fm, sr), res
 
 
 def _fused_vjp_bwd(h, corotated, sweeps, interpret, res, cots):
-    (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, n_rows_src,
+    (restT_rows, static_slab, gidx8, n_rows_src,
      stat_rows, dyn_rows, ay) = res
     dfm, dsr = cots
 
@@ -409,73 +398,73 @@ def _fused_vjp_bwd(h, corotated, sweeps, interpret, res, cots):
     t = restT_rows.shape[0]
 
     def body(args):
-        rr, rs, ms, vs, gi, day_c = args
-        dpsT_c = pk._moments_vjp_bwd(
-            h, interpret, (rr, rs, ms, vs, 3), day_c
-        )[4]
+        rr, st, gi, day_c = args
+        dpsT_c = pk._moments_vjp_bwd(h, interpret, (rr, st, 3), day_c)[2]
         return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
                 jnp.zeros((day_c.shape[0],), day_c.dtype))
 
     dpos_packed, _ = _scan_chunks(
-        body, (restT_rows, restT_slab, mass_slab, vol_slab, gidx8, day), t,
+        body, (restT_rows, static_slab, gidx8, day), t,
         jnp.zeros((n_rows_src, 64), day.dtype),
     )
-    return (None, None, None, None, dpos_packed, None, None, ddyn)
+    return (None, None, dpos_packed, None, None, ddyn)
 
 
 fused_k1mid.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 
 # --------------------------------------------------------------------- forces (separable)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def forces_packed(restT_rows, restT_slab, vol_slab, g_rows, g_slots, vol_rows,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def forces_packed(restT_rows, static_slab, g_rows, g_slots, vol_rows,
                   gidx8, h, interpret=False):
-    """Separable forces with packed-row G gather.  g_slots: (n_slots, 9)."""
-    return _forces_packed_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+    """Separable forces with packed-row G gather.  g_slots: (n_slots, 9);
+    static_slab: (t, 5, slab) = [restT_3 | mass | vol]."""
+    return _forces_packed_fwd(restT_rows, static_slab, g_rows, g_slots,
                               vol_rows, gidx8, h, interpret)
 
 
-def _forces_packed_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+def _forces_packed_fwd(restT_rows, static_slab, g_rows, g_slots,
                        vol_rows, gidx8, h, interpret):
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     g_slab16 = gather_packed(pack(g_slots, 9, 16, 8), gidx8, slab, 16)
-    return pk._forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows,
+    return pk._forces_fwd_impl(restT_rows, static_slab, g_rows,
                                g_slab16, vol_rows, h, interpret)
 
 
-def _forces_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+def _forces_packed_vjp_fwd(restT_rows, static_slab, g_rows, g_slots,
                            vol_rows, gidx8, h, interpret):
-    out = _forces_packed_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slots,
+    out = _forces_packed_fwd(restT_rows, static_slab, g_rows, g_slots,
                              vol_rows, gidx8, h, interpret)
-    return out, (restT_rows, restT_slab, vol_slab, vol_rows, gidx8,
+    return out, (restT_rows, static_slab, vol_rows, gidx8,
                  g_slots.shape[0])
 
 
 def _forces_packed_vjp_bwd(h, interpret, res, df):
-    restT_rows, restT_slab, vol_slab, vol_rows, gidx8, n_slots = res
+    restT_rows, static_slab, vol_rows, gidx8, n_slots = res
     t = restT_rows.shape[0]
 
     def body(args):
-        rr, rs, vs, vr, gi, df_c = args
-        dgr_c, dgs_c = pk._forces_vjp_bwd(h, interpret, (rr, rs, vs, vr), df_c)[3:5]
+        rr, st, vr, gi, df_c = args
+        dgr_c, dgs_c = pk._forces_vjp_bwd(h, interpret, (rr, st, vr), df_c)[2:4]
         return scatter_packed_add(dgs_c, gi, n_slots, 9, 16, 8), dgr_c
 
     dg_slots, dgr = _scan_chunks(
-        body, (restT_rows, restT_slab, vol_slab, vol_rows, gidx8, df), t,
+        body, (restT_rows, static_slab, vol_rows, gidx8, df), t,
         jnp.zeros((n_slots, 9), df.dtype),
     )
-    return (None, None, None, dgr, dg_slots, None, None)
+    return (None, None, dgr, dg_slots, None, None)
 
 
 forces_packed.defvjp(_forces_packed_vjp_fwd, _forces_packed_vjp_bwd)
 
 
 # --------------------------------------------------------------------- forces (warp)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def forces_warp_packed(restT_rows, restT_slab, vol_slab, fm_rows,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def forces_warp_packed(restT_rows, static_slab, fm_rows,
                        sr_packed, gidx8, h, interpret=False, chunks=None):
     """Warp-mode forces.
 
+    static_slab (t, 5, slab): [restT_3 | mass | vol] (mass row unused here).
     fm_rows (t, rows, 19): fused per-row operand [F_9 | M_9 | V_i] (each
     separate (rows, k<128) pallas operand pays its own 128-lane retiling +
     per-iteration staging).
@@ -486,28 +475,28 @@ def forces_warp_packed(restT_rows, restT_slab, vol_slab, fm_rows,
     ONE gather via gidx8; the slab ships pre-transposed by XLA and the
     in-kernel matmul runs against it directly.
     """
-    return _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+    return _forces_warp_packed_fwd(restT_rows, static_slab, fm_rows,
                                    sr_packed, gidx8, h, interpret, chunks)
 
 
-def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+def _forces_warp_packed_fwd(restT_rows, static_slab, fm_rows,
                             sr_packed, gidx8, h, interpret, chunks=None):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     srT_slab = gather_packed_T(sr_packed, gidx8, slab, 16)
     kernel = pk._batched(
         functools.partial(pk._forces_warp_kernel_v2, h=h,
-                          chunks=chunks or pk._WARP_CHUNKS), 6)
+                          chunks=chunks or pk._WARP_CHUNKS), 5)
     args, t_pad = pk._pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], fm_rows, srT_slab], t)
+        [restT_rows, static_slab, fm_rows, srT_slab], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // pk._TILE_BATCH,),
         in_specs=pk._tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 19), (16, slab),
+            (3, rows), (5, slab), (rows, 19), (16, slab),
         ]),
         out_specs=pk._tile_specs([(rows, 3)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), fm_rows.dtype),
@@ -516,38 +505,38 @@ def _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
     return out[:t]
 
 
-def _forces_warp_packed_vjp_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+def _forces_warp_packed_vjp_fwd(restT_rows, static_slab, fm_rows,
                                 sr_packed, gidx8, h, interpret, chunks=None):
-    out = _forces_warp_packed_fwd(restT_rows, restT_slab, vol_slab, fm_rows,
+    out = _forces_warp_packed_fwd(restT_rows, static_slab, fm_rows,
                                   sr_packed, gidx8, h, interpret, chunks)
-    return out, (restT_rows, restT_slab, vol_slab, fm_rows, sr_packed, gidx8)
+    return out, (restT_rows, static_slab, fm_rows, sr_packed, gidx8)
 
 
 def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
-    restT_rows, restT_slab, vol_slab, fm_rows, sr_packed, gidx8 = res
+    restT_rows, static_slab, fm_rows, sr_packed, gidx8 = res
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     n_rows_src = sr_packed.shape[0]
 
     def body(args):
-        rr, rs, vs, fm_c, gi, df_c = args
+        rr, st, fm_c, gi, df_c = args
         # the backward kernel needs the lane-major slab: regather (packed,
         # chunked) + XLA transpose — backward pays the relayout, forward
         # stays bandwidth-fast
         srT = gather_packed_T(sr_packed, gi, slab, 16)
         dfm_c, dsT6_c, drT_c = pk._forces_warp_bwd_impl(
-            rr, rs, vs, fm_c, srT, df_c, h, interpret,
+            rr, st, fm_c, srT, df_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
         )
         dsrT_c = jnp.concatenate([dsT6_c, drT_c], axis=1)   # (chunk, 15, slab)
         return scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8), dfm_c
 
     dsr_packed, dfm = _scan_chunks(
-        body, (restT_rows, restT_slab, vol_slab, fm_rows, gidx8, df), t,
+        body, (restT_rows, static_slab, fm_rows, gidx8, df), t,
         jnp.zeros((n_rows_src, 128), df.dtype),
     )
     # cotangent dtype must match the (possibly bf16) primal source
-    return (None, None, None, dfm, dsr_packed.astype(sr_packed.dtype), None)
+    return (None, None, dfm, dsr_packed.astype(sr_packed.dtype), None)
 
 
 forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)

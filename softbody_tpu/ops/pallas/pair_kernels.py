@@ -37,13 +37,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _WARP_CHUNKS = 3
-# tiles per kernel invocation.  MEASURED (varcol era): batching hurt (4 ->
-# 1.17e6 vs 1 -> 1.74e6 pps at 21k) — block VMEM staging, not invocation
-# overhead.  The v3 fused/lane-major operands changed the staging profile;
-# the env knob lets the sweep rerun per layout generation.
+# tiles per kernel invocation.  MEASURED at 100k on v5e (sparse layout, merged
+# static slab): rows=32 TB=1 1.36e7, TB=2 1.475e7, TB=4 1.40e7 particle-
+# steps/s; rows=64 and rows=16 lose at any TB (tools/sweep_staging.sh).
+# Batching 2 tiles halves the per-tile staging stalls without blowing VMEM.
+# (The varcol-era measurement where batching hurt predates the lane-major
+# fused operands.)
 import os as _os
 
-_TILE_BATCH = int(_os.environ.get("SOFTBODY_TILE_BATCH", "1"))
+_TILE_BATCH = int(_os.environ.get("SOFTBODY_TILE_BATCH", "2"))
 
 
 class _Sub:
@@ -185,8 +187,12 @@ def _cols(mat9, b):
 
 
 # ============================================================ moments (K1)
-def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                    pos_slabT_ref, ay_ref, *, h):
+# Static slab layout: ALL per-slab static operands travel as ONE (5, slab)
+# block — rows 0:3 restT, row 3 mass, row 4 volume.  Three separate blocks
+# ((3, slab) + (1, slab) + (1, slab)) each pad their sublane dim to 8 in VMEM
+# and issue their own per-tile DMA; the merged block is one contiguous
+# 5*slab-float HBM read per tile (pads to 8 sublanes ONCE).
+def _moments_kernel(restT_rows_ref, static_slab_ref, pos_slabT_ref, ay_ref, *, h):
     """RAW moment dots, fused output ay (rows, 18) = [A-part 9 | Y-part 9] in
     the transposed [3b+a] trailing layout.
 
@@ -196,10 +202,11 @@ def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
     padded to 128 lanes (14-42x HBM bloat, staged per scan iteration).
     """
     rr = restT_rows_ref[0]          # (3, rows)
-    rs = restT_slab_ref[0]          # (3, slab)
+    st = static_slab_ref[0]         # (5, slab): [restT_3 | mass | vol]
+    rs = st[0:3]
     dx, w, gfac = _pair_coeffs(rr, rs, h)
-    cA = w * mass_slab_ref[0]       # (rows, slab)
-    gv = gfac * vol_slab_ref[0]
+    cA = w * st[3:4]                # (rows, slab)
+    gv = gfac * st[4:5]
     pos_slabT = pos_slabT_ref[0]    # (pw, slab) LANE-MAJOR dynamic positions
     rows = rr.shape[1]
 
@@ -213,13 +220,13 @@ def _moments_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
     )
 
 
-def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_ref,
-                        day_ref, dpsT_ref, *, h):
+def _moments_bwd_kernel(restT_rows_ref, static_slab_ref, day_ref, dpsT_ref, *, h):
     rr = restT_rows_ref[0]
-    rs = restT_slab_ref[0]
+    st = static_slab_ref[0]
+    rs = st[0:3]
     dx, w, gfac = _pair_coeffs(rr, rs, h)
-    cA = w * mass_slab_ref[0]
-    gv = gfac * vol_slab_ref[0]
+    cA = w * st[3:4]
+    gv = gfac * st[4:5]
     day = day_ref[0]                # (rows, 18), fused [dA | dY], cols 3b+a
     rows = rr.shape[1]
     lhs = jnp.concatenate(
@@ -236,32 +243,28 @@ def _moments_bwd_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref, vol_slab_
     dpsT_ref[0] = _dot_rows(cts, lhs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def moments_pallas(restT_rows, restT_slab, mass_slab, vol_slab, pos_slabT,
-                   h, interpret=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def moments_pallas(restT_rows, static_slab, pos_slabT, h, interpret=None):
     """Raw moment dots ay: (t, rows, 18) = [A | Y], columns 3*b + a (transposed
-    trailing layout).  Callers subtract the static-rowsum correction in XLA
-    and relabel with mat3.transpose3."""
-    return _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                             pos_slabT, h, interpret)
+    trailing layout).  static_slab: (t, 5, slab) = [restT_3 | mass | vol].
+    Callers subtract the static-rowsum correction in XLA and relabel with
+    mat3.transpose3."""
+    return _moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
 
 
-def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                      pos_slabT, h, interpret):
+def _moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret):
     """pos_slabT: (t, pw, slab) lane-major dynamic positions."""
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     pw = pos_slabT.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_moments_kernel, h=h), 6)
-    args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
-         pos_slabT], t)
+    kernel = _batched(functools.partial(_moments_kernel, h=h), 4)
+    args, t_pad = _pad_tiles([restT_rows, static_slab, pos_slabT], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (pw, slab),
+            (3, rows), (5, slab), (pw, slab),
         ]),
         out_specs=_tile_specs([(rows, 18)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, rows, 18), restT_rows.dtype),
@@ -270,28 +273,23 @@ def _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
     return out[:t]
 
 
-def _moments_vjp_fwd(restT_rows, restT_slab, mass_slab, vol_slab,
-                     pos_slabT, h, interpret):
-    out = _moments_fwd_impl(restT_rows, restT_slab, mass_slab, vol_slab,
-                            pos_slabT, h, interpret)
-    return out, (restT_rows, restT_slab, mass_slab, vol_slab,
-                 pos_slabT.shape[1])
+def _moments_vjp_fwd(restT_rows, static_slab, pos_slabT, h, interpret):
+    out = _moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
+    return out, (restT_rows, static_slab, pos_slabT.shape[1])
 
 
 def _moments_vjp_bwd(h, interpret, res, day):
-    restT_rows, restT_slab, mass_slab, vol_slab, pw = res
+    restT_rows, static_slab, pw = res
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_moments_bwd_kernel, h=h), 6)
-    args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, mass_slab[:, None, :], vol_slab[:, None, :],
-         day], t)
+    kernel = _batched(functools.partial(_moments_bwd_kernel, h=h), 4)
+    args, t_pad = _pad_tiles([restT_rows, static_slab, day], t)
     dps = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (1, slab), (rows, 18),
+            (3, rows), (5, slab), (rows, 18),
         ]),
         out_specs=_tile_specs([(3, slab)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, 3, slab), day.dtype),
@@ -301,15 +299,15 @@ def _moments_vjp_bwd(h, interpret, res, day):
     if pw > 3:   # cotangent wrt the (t, pw, slab) lane-major operand
         dps = jnp.concatenate(
             [dps, jnp.zeros((t, pw - 3, slab), dps.dtype)], axis=1)
-    return (None, None, None, None, dps)
+    return (None, None, dps)
 
 
 moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 
 # ============================================================ fused K1 + mid-section
-def _moments_mid_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref,
-                        vol_slab_ref, pos_slabT_ref, stat_ref, dyn_ref,
+def _moments_mid_kernel(restT_rows_ref, static_slab_ref, pos_slabT_ref,
+                        stat_ref, dyn_ref,
                         fm_ref, sr_ref, ay_ref=None, *, h, corotated, sweeps):
     """K1 moment dots + the whole per-slot mid-section (correction, polar
     rotation, deformation gradient, StVK stress, M = R F S) fused into one
@@ -333,10 +331,10 @@ def _moments_mid_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref,
     from .. import mat3
 
     rr = restT_rows_ref[0]          # (3, rows)
-    rs = restT_slab_ref[0]          # (3, slab)
-    dx, w, gfac = _pair_coeffs(rr, rs, h)
-    cA = w * mass_slab_ref[0]
-    gv = gfac * vol_slab_ref[0]
+    stc = static_slab_ref[0]        # (5, slab): [restT_3 | mass | vol]
+    dx, w, gfac = _pair_coeffs(rr, stc[0:3], h)
+    cA = w * stc[3:4]
+    gv = gfac * stc[4:5]
     pos_slabT = pos_slabT_ref[0]    # (pw, slab)
     rows = rr.shape[1]
     stat = stat_ref[0]              # (rows, 18)
@@ -396,11 +394,11 @@ def _moments_mid_kernel(restT_rows_ref, restT_slab_ref, mass_slab_ref,
 
 
 # ============================================================ forces (K2, separable)
-def _forces_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, g_rows_ref,
+def _forces_kernel(restT_rows_ref, static_slab_ref, g_rows_ref,
                    g_slab_ref, vol_rows_ref, f_ref, *, h):
     rr = restT_rows_ref[0]
-    rs = restT_slab_ref[0]
-    dx, w, gfac = _pair_coeffs(rr, rs, h)
+    st = static_slab_ref[0]         # (5, slab): [restT_3 | mass | vol]
+    dx, w, gfac = _pair_coeffs(rr, st[0:3], h)
     g_rows = g_rows_ref[0]          # (rows, 9) — G_i = V_i M_i
     vol_rows = vol_rows_ref[0]      # (rows, 1)
     rows = rr.shape[1]
@@ -411,7 +409,7 @@ def _forces_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, g_rows_ref,
     for b in range(3):
         col = _cols(dots[b * rows:(b + 1) * rows], b)
         term = col if term is None else term + col
-    gv_stack = nw_stack * vol_slab_ref[0]           # (3 rows, slab): V_j nw_b stacked
+    gv_stack = nw_stack * st[4:5]                   # (3 rows, slab): V_j nw_b stacked
     svnw = jnp.sum(gv_stack, axis=1, keepdims=True)  # (3 rows, 1)
     vol_safe = jnp.where(vol_rows > 0, vol_rows, 1.0)
     m_rows = g_rows / vol_safe
@@ -422,11 +420,11 @@ def _forces_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, g_rows_ref,
     f_ref[0] = 0.5 * vol_rows * (term + term_i)
 
 
-def _forces_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, vol_rows_ref,
+def _forces_bwd_kernel(restT_rows_ref, static_slab_ref, vol_rows_ref,
                        df_ref, dgr_ref, dgs_ref, *, h):
     rr = restT_rows_ref[0]
-    rs = restT_slab_ref[0]
-    dx, w, gfac = _pair_coeffs(rr, rs, h)
+    st = static_slab_ref[0]
+    dx, w, gfac = _pair_coeffs(rr, st[0:3], h)
     vol_rows = vol_rows_ref[0]
     df = df_ref[0] * (0.5 * vol_rows)          # (rows, 3) scaled cotangent
     vol_safe = jnp.where(vol_rows > 0, vol_rows, 1.0)
@@ -442,7 +440,7 @@ def _forces_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, vol_rows_re
         for a in range(3):
             dgs_cols[3 * a + b] = cb[:, a: a + 1]
     dgs_ref[0] = jnp.concatenate(dgs_cols, axis=1)
-    gv_stack = nw_stack * vol_slab_ref[0]
+    gv_stack = nw_stack * st[4:5]
     svnw = jnp.sum(gv_stack, axis=1, keepdims=True)
     dgr_cols = [None] * 9
     for b in range(3):
@@ -452,29 +450,29 @@ def _forces_bwd_kernel(restT_rows_ref, restT_slab_ref, vol_slab_ref, vol_rows_re
     dgr_ref[0] = jnp.concatenate(dgr_cols, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def forces_pallas(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def forces_pallas(restT_rows, static_slab, g_rows, g_slab, vol_rows,
                   h, interpret=None):
-    """Separable (pair_def_grad="j") elastic forces: (t, rows, 3)."""
-    return _forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows, g_slab,
+    """Separable (pair_def_grad="j") elastic forces: (t, rows, 3).
+    static_slab: (t, 5, slab) = [restT_3 | mass | vol] (mass row unused)."""
+    return _forces_fwd_impl(restT_rows, static_slab, g_rows, g_slab,
                             vol_rows, h, interpret)
 
 
-def _forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
+def _forces_fwd_impl(restT_rows, static_slab, g_rows, g_slab, vol_rows,
                      h, interpret):
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     gw = g_slab.shape[-1]     # 9, or 16 when packed-row gathered
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_forces_kernel, h=h), 7)
+    kernel = _batched(functools.partial(_forces_kernel, h=h), 6)
     args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], g_rows, g_slab,
-         vol_rows[:, :, None]], t)
+        [restT_rows, static_slab, g_rows, g_slab, vol_rows[:, :, None]], t)
     out = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 9), (slab, gw), (rows, 1),
+            (3, rows), (5, slab), (rows, 9), (slab, gw), (rows, 1),
         ]),
         out_specs=_tile_specs([(rows, 3)])[0],
         out_shape=jax.ShapeDtypeStruct((t_pad, rows, 3), g_rows.dtype),
@@ -483,26 +481,26 @@ def _forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
     return out[:t]
 
 
-def _forces_vjp_fwd(restT_rows, restT_slab, vol_slab, g_rows, g_slab, vol_rows,
+def _forces_vjp_fwd(restT_rows, static_slab, g_rows, g_slab, vol_rows,
                     h, interpret):
-    out = _forces_fwd_impl(restT_rows, restT_slab, vol_slab, g_rows, g_slab,
+    out = _forces_fwd_impl(restT_rows, static_slab, g_rows, g_slab,
                            vol_rows, h, interpret)
-    return out, (restT_rows, restT_slab, vol_slab, vol_rows)
+    return out, (restT_rows, static_slab, vol_rows)
 
 
 def _forces_vjp_bwd(h, interpret, res, df):
-    restT_rows, restT_slab, vol_slab, vol_rows = res
+    restT_rows, static_slab, vol_rows = res
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
-    kernel = _batched(functools.partial(_forces_bwd_kernel, h=h), 7)
+    kernel = _batched(functools.partial(_forces_bwd_kernel, h=h), 6)
     args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], vol_rows[:, :, None], df], t)
+        [restT_rows, static_slab, vol_rows[:, :, None], df], t)
     dgr, dgs = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 1), (rows, 3),
+            (3, rows), (5, slab), (rows, 1), (rows, 3),
         ]),
         out_specs=_tile_specs([(rows, 9), (slab, 9)]),
         out_shape=[
@@ -511,7 +509,7 @@ def _forces_vjp_bwd(h, interpret, res, df):
         ],
         interpret=interpret,
     )(*args)
-    return (None, None, None, dgr[:t], dgs[:t], None)
+    return (None, None, dgr[:t], dgs[:t], None)
 
 
 forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
@@ -527,7 +525,7 @@ forces_pallas.defvjp(_forces_vjp_fwd, _forces_vjp_bwd)
 _SYM6 = (0, 1, 2, 1, 3, 4, 2, 4, 5)
 
 
-def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
+def _forces_warp_kernel_v2(restT_rows_ref, static_slab_ref,
                            fm_ref, srT_ref, f_ref, *, h, chunks):
     """Warp pairing (sim.py:227-234): f_i = V_i/2 (sum_j R_j f_ij + M_i sum_j V_j nw).
 
@@ -548,7 +546,7 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     m9 = fm[:, 9:18]
     vol_rows = fm[:, 18:19]
     rows = rr.shape[1]
-    slab = restT_slab_ref.shape[2]
+    slab = static_slab_ref.shape[2]
     L = slab // chunks
 
     pdt = srT_ref[0, 0:1, 0:1].dtype   # bf16 when cfg.pair_dtype says so
@@ -556,9 +554,9 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     termj = jnp.zeros((rows, 3), f32)
     svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     for k in range(chunks):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
+        rs = static_slab_ref[0, 0:3, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
-        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]   # (rows, L), V_j folded
+        gv = gfac * static_slab_ref[0, 4:5, k * L:(k + 1) * L]  # (rows, L), V_j folded
         sT = srT_ref[0, :, k * L:(k + 1) * L]               # (16, L)
         nw = [gv * dx[b] for b in range(3)]                 # f32 (svnw needs it)
         nw_p = (nw if pdt == f32
@@ -583,7 +581,7 @@ def _forces_warp_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     f_ref[0] = 0.5 * vol_rows * (termj + term_i)
 
 
-def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
+def _forces_warp_bwd_kernel_v2(restT_rows_ref, static_slab_ref,
                                fm_ref, srT_ref, df_ref,
                                dfm_ref, dsT6_ref, drT_ref, *, h, chunks):
     """Backward of :func:`_forces_warp_kernel_v2`.
@@ -601,15 +599,15 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
     vol_rows = fm[:, 18:19]
     df = df_ref[0] * (0.5 * vol_rows)          # (rows, 3)
     rows = rr.shape[1]
-    slab = restT_slab_ref.shape[2]
+    slab = static_slab_ref.shape[2]
     L = slab // chunks
 
     svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     df9_acc = [jnp.zeros_like(vol_rows) for _ in range(9)]
     for k in range(chunks):
-        rs = restT_slab_ref[0, :, k * L:(k + 1) * L]
+        rs = static_slab_ref[0, 0:3, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
-        gv = gfac * vol_slab_ref[0, :, k * L:(k + 1) * L]
+        gv = gfac * static_slab_ref[0, 4:5, k * L:(k + 1) * L]
         # backward runs f32 throughout (cast the possibly-bf16 slab once)
         sT = srT_ref[0, :, k * L:(k + 1) * L].astype(rr.dtype)  # (16, L)
         nw = [gv * dx[b] for b in range(3)]                 # V_j folded
@@ -657,21 +655,21 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, restT_slab_ref, vol_slab_ref,
         df9_acc + dm_cols + [jnp.zeros_like(vol_rows)], axis=1)
 
 
-def _forces_warp_bwd_impl(restT_rows, restT_slab, vol_slab, fm_rows, srT_slab,
+def _forces_warp_bwd_impl(restT_rows, static_slab, fm_rows, srT_slab,
                           df, h, interpret, chunks):
     """pallas_call wrapper for the v2 warp backward (used by packed.py)."""
     t, _, rows = restT_rows.shape
-    slab = restT_slab.shape[2]
+    slab = static_slab.shape[2]
     interpret = _interpret_default() if interpret is None else interpret
     kernel = _batched(
-        functools.partial(_forces_warp_bwd_kernel_v2, h=h, chunks=chunks), 9)
+        functools.partial(_forces_warp_bwd_kernel_v2, h=h, chunks=chunks), 8)
     args, t_pad = _pad_tiles(
-        [restT_rows, restT_slab, vol_slab[:, None, :], fm_rows, srT_slab, df], t)
+        [restT_rows, static_slab, fm_rows, srT_slab, df], t)
     dfm, dsT6, drT = pl.pallas_call(
         kernel,
         grid=(t_pad // _TILE_BATCH,),
         in_specs=_tile_specs([
-            (3, rows), (3, slab), (1, slab), (rows, 19),
+            (3, rows), (5, slab), (rows, 19),
             (16, slab), (rows, 3),
         ]),
         out_specs=_tile_specs([(rows, 19), (6, slab), (9, slab)]),

@@ -67,9 +67,7 @@ def stack_shard_buckets(sb: SparseBlocked):
         stacked.append({
             "gidx8": jnp.stack([b.gidx8 for b in per]),
             "restT_rows": jnp.stack([b.restT_rows for b in per]),
-            "restT_slab": jnp.stack([b.restT_slab for b in per]),
-            "mass_slab": jnp.stack([b.mass_slab for b in per]),
-            "vol_slab": jnp.stack([b.vol_slab for b in per]),
+            "static_slab": jnp.stack([b.static_slab for b in per]),
         })
         meta.append((start, b0.rows, b0.slab_len))
         start += b0.n_tiles
@@ -83,9 +81,7 @@ def _local_buckets(stacked_local, meta):
         out.append(DevBucket(
             gidx8=leaves["gidx8"][0],
             restT_rows=leaves["restT_rows"][0],
-            restT_slab=leaves["restT_slab"][0],
-            mass_slab=leaves["mass_slab"][0],
-            vol_slab=leaves["vol_slab"][0],
+            static_slab=leaves["static_slab"][0],
             tile_start=tile_start,
             rows=rows,
             slab_len=slab_len,
@@ -114,7 +110,7 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
 
     pos_packed = gathered_source([pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], 8)
     ay = jnp.concatenate([
-        moments_packed_src(b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+        moments_packed_src(b.restT_rows, b.static_slab,
                            pos_packed, b.gidx8, cfg.h, interpret)
         for b in lbuckets
     ], axis=0).reshape(m_loc, 18)
@@ -144,7 +140,7 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
         for b in lbuckets:
             g_slab16 = gather_packed(g_packed, b.gidx8, b.slab_len, 16)
             f_parts.append(pk._forces_fwd_impl(
-                b.restT_rows, b.restT_slab, b.vol_slab, b.rows_of(G9_rows),
+                b.restT_rows, b.static_slab, b.rows_of(G9_rows),
                 g_slab16, b.rows_of(vol_rows), cfg.h, interpret))
     else:
         fm_rows = rows_from_components(
@@ -161,7 +157,7 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
               R[0, 2], R[1, 2], R[2, 2])], 16)
         for b in lbuckets:
             f_parts.append(forces_warp_packed(
-                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.restT_rows, b.static_slab,
                 b.rows_of(fm_rows), sr_packed, b.gidx8,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))

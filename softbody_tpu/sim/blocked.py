@@ -107,7 +107,7 @@ def build_blocked_scene(
         mass_slab=_pregather(mass, layout, dtype),
         rest_rows=rest_rows,
         restT_rows=jnp.swapaxes(rest_rows, 1, 2),
-        restT_slab=jnp.swapaxes(rest_slab, 1, 2),
+        static_slab=None,   # built below once volume is known
         gidx8=group_idx(8),
         gidx4=group_idx(4),
         rs6=None,
@@ -138,7 +138,13 @@ def build_blocked_scene(
     blocked = jax.tree_util.tree_map(lambda x: x, blocked)  # copy
     import dataclasses as _dc
 
-    blocked = _dc.replace(blocked, vol_slab=_pregather(volume, layout, dtype))
+    vol_slab = _pregather(volume, layout, dtype)
+    static_slab = jnp.concatenate([
+        jnp.swapaxes(blocked.rest_slab, 1, 2),
+        blocked.mass_slab[:, None, :],
+        vol_slab[:, None, :],
+    ], axis=1)
+    blocked = _dc.replace(blocked, vol_slab=vol_slab, static_slab=static_slab)
 
     # static moment row sums (one build-time moments call on an all-ones RHS;
     # a per-step ones call would not be hoisted out of the episode scan)
@@ -146,8 +152,8 @@ def build_blocked_scene(
     from ..ops.pallas.pair_kernels import _interpret_default
 
     ay1 = moments_packed(
-        blocked.restT_rows, blocked.restT_slab, blocked.mass_slab,
-        blocked.vol_slab, jnp.ones((ns, 3), dtype), blocked.gidx8, cfg.h,
+        blocked.restT_rows, blocked.static_slab,
+        jnp.ones((ns, 3), dtype), blocked.gidx8, cfg.h,
         _interpret_default(),
     ).reshape(m_tiles, 18)
     blocked = _dc.replace(blocked, rs6=ay1[:, 0::3])
@@ -267,7 +273,7 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
 
     def moments_all(p_slots):
         return moments_packed(
-            blk.restT_rows, blk.restT_slab, blk.mass_slab, blk.vol_slab,
+            blk.restT_rows, blk.static_slab,
             p_slots, blk.gidx8, cfg.h, interpret,
         ).reshape(m, 18)
 
@@ -292,7 +298,7 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     if cfg.pair_def_grad == "j":
         G9_rows = mat3.to_trailing(G).reshape(t, rows, 9)
         f = forces_packed(
-            blk.restT_rows, blk.restT_slab, blk.vol_slab,
+            blk.restT_rows, blk.static_slab,
             G9_rows, to_slot(G, 9), vol_rows, blk.gidx8, cfg.h, interpret,
         )
     else:
@@ -315,7 +321,7 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
               R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
               R[0, 2], R[1, 2], R[2, 2])], 16, 8, n_total=blk.n_slots)
         f = forces_warp_packed(
-            blk.restT_rows, blk.restT_slab, blk.vol_slab,
+            blk.restT_rows, blk.static_slab,
             fm_rows, sr_packed, blk.gidx8, cfg.h, interpret,
         )
     out = jnp.zeros_like(pos_slots)

@@ -39,7 +39,7 @@ from .scene import lame_parameters
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "gidx8", "restT_rows", "restT_slab", "mass_slab", "vol_slab",
+        "gidx8", "restT_rows", "static_slab",
     ],
     meta_fields=["tile_start", "rows", "slab_len"],
 )
@@ -50,13 +50,16 @@ class DevBucket:
     Tiles are laid out BUCKET-MAJOR (topology/sparse.py permutes the slot
     space), so a bucket's tiles are rows [tile_start, tile_start + t_b) of any
     (n_tiles, ...) array — per-step row gathers are free static slices.
+
+    All per-slab static data travels as ONE (t_b, 5, slab) operand
+    [restT_3 | mass | vol]: three separate blocks each pad their sublane dim
+    to 8 in VMEM and issue their own per-tile DMA — merged, the kernels stage
+    one contiguous block (see ops/pallas/pair_kernels.py).
     """
 
     gidx8: jnp.ndarray       # (t_b, slab/8) packed-row ids (16 f/slot sources)
     restT_rows: jnp.ndarray  # (t_b, 3, rows)
-    restT_slab: jnp.ndarray  # (t_b, 3, slab)
-    mass_slab: jnp.ndarray   # (t_b, slab)
-    vol_slab: jnp.ndarray    # (t_b, slab)
+    static_slab: jnp.ndarray  # (t_b, 5, slab): [restT_3 | mass | vol]
     tile_start: int
     rows: int
     slab_len: int
@@ -161,12 +164,15 @@ def build_sparse_scene(
         rs = rest_slots[sl]                                # (t_b, S, 3)
         tid = b.tile_ids.astype(np.int64)                  # contiguous range
         rr = rest_slots[tid[:, None] * rows + np.arange(rows)[None, :]]
+        static = np.concatenate([
+            np.swapaxes(rs, 1, 2),                         # (t_b, 3, S)
+            mass[sl][:, None, :],
+            vol_np[sl][:, None, :],
+        ], axis=1)
         return DevBucket(
             gidx8=jnp.asarray(b.group_ids, jnp.int32),
             restT_rows=jnp.asarray(np.swapaxes(rr, 1, 2), dtype),
-            restT_slab=jnp.asarray(np.swapaxes(rs, 1, 2), dtype),
-            mass_slab=jnp.asarray(mass[sl], dtype),
-            vol_slab=jnp.asarray(vol_np[sl], dtype),
+            static_slab=jnp.asarray(static, dtype),
             tile_start=int(tid[0]),
             rows=rows,
             slab_len=int(sl.shape[1]),
@@ -237,7 +243,7 @@ def _static_rowsums(buckets, m, n_slots, cfg, dtype):
     interpret = _interpret_default()
     ones = jnp.ones((n_slots, 3), dtype)
     parts = [moments_packed(
-        b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+        b.restT_rows, b.static_slab,
         ones, b.gidx8, cfg.h, interpret) for b in buckets]
     return jnp.concatenate(parts, axis=0).reshape(m, 18)[:, 0::3]
 
@@ -262,7 +268,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
 
     def moments_all(p_slots):
         parts = [moments_packed(
-            b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+            b.restT_rows, b.static_slab,
             p_slots, b.gidx8, cfg.h, interpret) for b in sb.buckets]
         # bucket-major tile order: concat IS tile order
         return jnp.concatenate(parts, axis=0).reshape(m, 18)
@@ -285,7 +291,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         fm_parts, sr_parts = [], []
         for b in sb.buckets:
             fm_b, sr_b = fused_k1mid(
-                b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+                b.restT_rows, b.static_slab,
                 pos_packed, b.gidx8, b.rows_of(sb.stat_rows),
                 b.rows_of(dyn_rows), cfg.h, cfg.corotated, 8, interpret)
             fm_parts.append(fm_b)
@@ -298,7 +304,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         f_parts = []
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
-                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.restT_rows, b.static_slab,
                 b.rows_of(fm_rows), sr_packed, b.gidx8,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))
@@ -332,7 +338,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         g_slots = to_slot(G, 9)
         for b in sb.buckets:
             f_parts.append(forces_packed(
-                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.restT_rows, b.static_slab,
                 b.rows_of(G9_rows), g_slots, b.rows_of(vol_rows), b.gidx8,
                 cfg.h, interpret,
             ))
@@ -358,7 +364,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
               R[0, 2], R[1, 2], R[2, 2])], 16, 8, n_total=sb.n_slots)
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
-                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.restT_rows, b.static_slab,
                 b.rows_of(fm_rows), sr_packed, b.gidx8,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))

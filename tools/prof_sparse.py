@@ -103,7 +103,7 @@ def main():
 
     def moments_all(p):
         parts = [moments_packed(
-            b.restT_rows, b.restT_slab, b.mass_slab, b.vol_slab,
+            b.restT_rows, b.static_slab,
             p, b.gidx8, cfg.h, False) for b in sb.buckets]
         return jnp.concatenate(parts, axis=0).reshape(m, 18)
 
@@ -159,7 +159,7 @@ def main():
         f_parts = []
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
-                b.restT_rows, b.restT_slab, b.vol_slab,
+                b.restT_rows, b.static_slab,
                 b.rows_of(fm_rows), sr_packed, b.gidx8,
                 cfg.h, False, chunks=_chunks_for(b.slab_len),
             ))
