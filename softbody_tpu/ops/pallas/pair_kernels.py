@@ -549,7 +549,6 @@ def _forces_warp_kernel_v2(restT_rows_ref, static_slab_ref,
     slab = static_slab_ref.shape[2]
     L = slab // chunks
 
-    pdt = srT_ref[0, 0:1, 0:1].dtype   # bf16 when cfg.pair_dtype says so
     f32 = rr.dtype
     termj = jnp.zeros((rows, 3), f32)
     svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
@@ -557,15 +556,14 @@ def _forces_warp_kernel_v2(restT_rows_ref, static_slab_ref,
         rs = static_slab_ref[0, 0:3, k * L:(k + 1) * L]
         dx, gfac = _pair_coeffs_g(rr, rs, h)
         gv = gfac * static_slab_ref[0, 4:5, k * L:(k + 1) * L]  # (rows, L), V_j folded
-        sT = srT_ref[0, :, k * L:(k + 1) * L]               # (16, L)
-        nw = [gv * dx[b] for b in range(3)]                 # f32 (svnw needs it)
-        nw_p = (nw if pdt == f32
-                else [v.astype(pdt) for v in nw])
-        # S rows sliced 2D (bf16 (L,) -> (1, L) minor-dim inserts don't lower)
-        z = [sum(nw_p[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
+        # bf16 (cfg.pair_dtype) is STORAGE-ONLY: the slab travels HBM->VMEM at
+        # half the bytes and upcasts once here; all pair math stays f32
+        sT = srT_ref[0, :, k * L:(k + 1) * L].astype(f32)   # (16, L)
+        nw = [gv * dx[b] for b in range(3)]
+        z = [sum(nw[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
                  for b in range(3)) for d in range(3)]
         u_stack = jnp.concatenate(
-            [sum(f9[:, 3 * c + d: 3 * c + d + 1].astype(pdt) * z[d]
+            [sum(f9[:, 3 * c + d: 3 * c + d + 1] * z[d]
                  for d in range(3)) for c in range(3)], axis=0,
         )                                                   # (3 rows, L)
         dots = jax.lax.dot_general(                          # f32 accumulate

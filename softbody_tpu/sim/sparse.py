@@ -99,7 +99,11 @@ class SparseBlocked:
     stat_rows: jnp.ndarray | None = None
 
 
-def _chunks_for(slab: int, max_chunk: int = 768) -> int:
+_MAX_CHUNK = int(__import__("os").environ.get("SOFTBODY_K2_MAX_CHUNK", "768"))
+
+
+def _chunks_for(slab: int, max_chunk: int | None = None) -> int:
+    max_chunk = _MAX_CHUNK if max_chunk is None else max_chunk
     c = 1
     while slab // c > max_chunk or slab % c:
         c += 1
