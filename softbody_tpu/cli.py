@@ -75,6 +75,9 @@ def initial_x(args, body, cfg):
 
 
 def main(argv=None):
+    from .utils.hostmem import enable_heap_reuse
+
+    enable_heap_reuse()
     args = build_parser().parse_args(argv)
     from . import warp_parity
     from .geometry.shapes import suggest_h

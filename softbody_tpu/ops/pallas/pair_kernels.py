@@ -110,23 +110,23 @@ def _pair_coeffs(restT_rows, restT_slab, h):
     """
     dx = [restT_rows[b][:, None] - restT_slab[b][None, :] for b in range(3)]
     r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
-    r = jnp.sqrt(r2)
     dtype = r2.dtype
     h = jnp.asarray(h, dtype)
-    q = r / h
+    inv_h = 1.0 / h
     c4 = 0.25 / (jnp.pi * h**3)
     # branchless cubic-spline identity:  W = c/4 [ (2-q)+^3 - 4 (1-q)+^3 ]
-    # and  grad_W = gfac dx with gfac = c/4 [ -3 (2-q)+^2 + 12 (1-q)+^2 ] / (q h^2).
-    # (the q<1 0/0 at q=0 only arises for coincident points = the excluded
-    # self-pair; real particle spacings keep q well away from 0)
+    # and  grad_W = gfac dx with gfac = c/(4 h) [ 12 (1-q)+^2 - 3 (2-q)+^2 ] / r.
+    # sqrt/div/select-free: q = r2 * rsqrt(r2 + tiny) / h, and the gradient
+    # polynomial is EXACTLY zero at q = 0 (12*1 - 3*4), so the self-pair needs
+    # no mask - the tiny keeps rsqrt finite there (tiny/r2 ~ 1e-24 otherwise).
+    rs = jax.lax.rsqrt(r2 + 1e-30)
+    q = r2 * rs * inv_h
     tq = jnp.maximum(2.0 - q, 0.0)
     oq = jnp.maximum(1.0 - q, 0.0)
     tq2 = tq * tq
     oq2 = oq * oq
     w = c4 * (tq2 * tq - 4.0 * oq2 * oq)
-    q_safe = jnp.where(r2 > 0.0, q, 1.0)
-    gfac = c4 * (12.0 * oq2 - 3.0 * tq2) / (q_safe * h * h)
-    gfac = jnp.where(r2 > 0.0, gfac, 0.0)
+    gfac = (c4 * inv_h) * (12.0 * oq2 - 3.0 * tq2) * rs
     return dx, w, gfac
 
 
@@ -135,16 +135,16 @@ def _pair_coeffs_g(restT_rows, restT_slab, h):
     kernels never use W, and dropping it saves ~6 VPU ops per pair."""
     dx = [restT_rows[b][:, None] - restT_slab[b][None, :] for b in range(3)]
     r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
-    r = jnp.sqrt(r2)
     dtype = r2.dtype
     h = jnp.asarray(h, dtype)
-    q = r / h
+    inv_h = 1.0 / h
     c4 = 0.25 / (jnp.pi * h**3)
+    # see _pair_coeffs: rsqrt form, no sqrt/div/select (poly zero at q = 0)
+    rs = jax.lax.rsqrt(r2 + 1e-30)
+    q = r2 * rs * inv_h
     tq = jnp.maximum(2.0 - q, 0.0)
     oq = jnp.maximum(1.0 - q, 0.0)
-    q_safe = jnp.where(r2 > 0.0, q, 1.0)
-    gfac = c4 * (12.0 * oq * oq - 3.0 * tq * tq) / (q_safe * h * h)
-    gfac = jnp.where(r2 > 0.0, gfac, 0.0)
+    gfac = (c4 * inv_h) * (12.0 * oq * oq - 3.0 * tq * tq) * rs
     return dx, gfac
 
 
@@ -550,6 +550,9 @@ def _forces_warp_kernel_v2(restT_rows_ref, static_slab_ref,
     L = slab // chunks
 
     f32 = rr.dtype
+    # (measured: deferring the F_i contraction past the MXU dot and applying
+    # it in a per-row (rows, 1) epilogue LOSES ~12% — narrow column math pays
+    # full Mosaic relayout/instruction cost, same lesson as cfg.fused_mid)
     termj = jnp.zeros((rows, 3), f32)
     svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     for k in range(chunks):
@@ -599,7 +602,6 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, static_slab_ref,
     rows = rr.shape[1]
     slab = static_slab_ref.shape[2]
     L = slab // chunks
-
     svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
     df9_acc = [jnp.zeros_like(vol_rows) for _ in range(9)]
     for k in range(chunks):

@@ -7,6 +7,10 @@ parity-oracle configs work; f32 paths construct f32 arrays explicitly.
 
 import os
 
+from softbody_tpu.utils.hostmem import enable_heap_reuse
+
+enable_heap_reuse()
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

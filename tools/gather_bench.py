@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from softbody_tpu.utils.hostmem import enable_heap_reuse
+
+    enable_heap_reuse()
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=120_000)
     ap.add_argument("--gathered-slots", type=int, default=2_200_000)

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from softbody_tpu.utils.hostmem import enable_heap_reuse
+
+    enable_heap_reuse()
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--rows", type=int, default=32)
