@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
     ap.add_argument("--layout", choices=["sparse", "varcol", "cells"], default="sparse")
     ap.add_argument("--rows", type=int, default=32)
+    ap.add_argument("--max-buckets", type=int, default=8)
     ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",
                     help="pair_def_grad semantics: warp=F_i (flagship), taichi=F_j (separable)")
@@ -80,7 +81,8 @@ def main():
     if args.backend == "pallas" and args.layout == "sparse":
         from softbody_tpu.sim.sparse import build_sparse_scene
 
-        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows)
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows,
+                                        max_buckets=args.max_buckets)
         blk = scene.blocked
         log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
             f"buckets={[(b.n_tiles, b.slab_len) for b in blk.buckets]} "

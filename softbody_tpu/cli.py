@@ -79,6 +79,21 @@ def main(argv=None):
 
     enable_heap_reuse()
     args = build_parser().parse_args(argv)
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") or args.dtype == "float64":
+        import jax
+
+        if os.environ.get("JAX_PLATFORMS"):
+            # the axon TPU plugin ignores the env var; apply it in-process
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        if args.dtype == "float64":
+            # without x64, jnp.asarray(_, float64) silently truncates to f32;
+            # TPU has no f64 units (Mosaic rejects f64 dots) — the f64 parity
+            # path runs on CPU
+            jax.config.update("jax_enable_x64", True)
+            if not os.environ.get("JAX_PLATFORMS"):
+                jax.config.update("jax_platforms", "cpu")
     from . import warp_parity
     from .geometry.shapes import suggest_h
     from .opt import driver

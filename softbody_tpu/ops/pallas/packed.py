@@ -79,7 +79,11 @@ def pack(arr, width, pad_width, group):
 
 def pack_components(comps, pad_width, group, n_total=None):
     """Build a packed (n/group, group*pad_width) gather source directly from
-    per-field (n,) component arrays.
+    per-field (n,) component arrays.  Rows are FIELD-MAJOR:
+    ``row[gid] = [f0 of slots 0..group-1 | f1 of slots 0..group-1 | ...]`` —
+    so the lane-major re-layout after the gather (:func:`gather_packed_T`)
+    permutes contiguous ``group``-float runs instead of single floats
+    (element-granularity transposes were ~0.5 ms/step of the 100k profile).
 
     jnp.stack(comps, -1) -> pack() writes the (n, pad_width) intermediate with
     its minor dim padded to 128 lanes, one strided pass per component
@@ -96,7 +100,7 @@ def pack_components(comps, pad_width, group, n_total=None):
         x = jnp.pad(x, ((0, 0), (0, n_total - n)))
         n = n_total
     x = x.reshape(pad_width, n // group, group)
-    return jnp.transpose(x, (1, 2, 0)).reshape(n // group, group * pad_width)
+    return jnp.transpose(x, (1, 0, 2)).reshape(n // group, group * pad_width)
 
 
 def rows_from_components(comps, t, rows):
@@ -118,12 +122,26 @@ def gather_packed(packed, gidx, slab, pad_width):
     return rows.reshape(t, slab, pad_width)
 
 
-def gather_packed_T(packed, gidx, slab, pad_width, take=None):
-    """Like :func:`gather_packed` but LANE-MAJOR: (t, take or pad_width, slab).
+def gather_packed_sm(packed, gidx, slab, pad_width):
+    """FIELD-MAJOR packed rows (:func:`pack_components`) -> SLOT-MAJOR
+    (t, slab, pad_width) slab, for kernels consuming (slab, k) operands
+    (separable forces in the SPMD path)."""
+    t, G = gidx.shape
+    group = slab // G
+    rows = jnp.take(packed, gidx.reshape(-1), axis=0)
+    x = rows.reshape(t, G, pad_width, group)
+    return jnp.transpose(x, (0, 1, 3, 2)).reshape(t, slab, pad_width)
 
-    Goes through (t, G, slots, fields) -> permute -> (t, pad_width, slab):
-    reshaping the gather output to (t, slab, pad_width) and transposing
-    materializes a 128-lane-padded intermediate (measured 5x slower).
+
+def gather_packed_T(packed, gidx, slab, pad_width, take=None):
+    """Gather FIELD-MAJOR packed rows (:func:`pack_components`) into the
+    LANE-MAJOR (t, take or pad_width, slab) slab the kernels stage.
+
+    Goes through (t, G, fields, slots) -> permute (0, 2, 1, 3): the permuted
+    minor unit is a contiguous ``group``-float run, so the re-layout moves
+    32-byte chunks, not single floats.  (Reshaping the gather output to
+    (t, slab, pad_width) and transposing materializes a 128-lane-padded
+    intermediate — measured 5x slower.)
 
     ``take``: keep only the first ``take`` field rows (sliced BEFORE the
     transpose, so padding fields are never materialized in the lane-major
@@ -132,11 +150,11 @@ def gather_packed_T(packed, gidx, slab, pad_width, take=None):
     t, G = gidx.shape
     group = slab // G
     rows = jnp.take(packed, gidx.reshape(-1), axis=0)
-    x = rows.reshape(t, G, group, pad_width)
+    x = rows.reshape(t, G, pad_width, group)
     if take is not None and take < pad_width:
-        x = x[:, :, :, :take]
+        x = x[:, :, :take, :]
         pad_width = take
-    return jnp.transpose(x, (0, 3, 1, 2)).reshape(t, pad_width, slab)
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(t, pad_width, slab)
 
 
 def scatter_packed_add_T(cotT, gidx, n_slots, width, pad_width, group):
@@ -148,22 +166,26 @@ def scatter_packed_add_T(cotT, gidx, n_slots, width, pad_width, group):
         cotT = jnp.concatenate(
             [cotT, jnp.zeros((t, pad_width - width, slab), cotT.dtype)], axis=1)
     x = cotT.reshape(t, pad_width, G, group)
-    rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(t * G, group * pad_width)
+    rows = jnp.transpose(x, (0, 2, 1, 3)).reshape(t * G, group * pad_width)
     out = jnp.zeros((n_slots // group, group * pad_width), cotT.dtype)
     out = out.at[gidx.reshape(-1)].add(rows)
+    # field-major rows -> (n_slots, pad_width) slot-major view
+    out = jnp.transpose(out.reshape(n_slots // group, pad_width, group),
+                        (0, 2, 1))
     return out.reshape(n_slots, pad_width)[:, :width]
 
 
 def scatter_packed_raw_T(cotT, gidx, n_rows_src, pad_width, group):
-    """Like scatter_packed_add_T but returns the PACKED (n_rows_src,
-    group*pad_width) cotangent directly (for packed-source operands)."""
+    """Like scatter_packed_add_T but returns the PACKED field-major
+    (n_rows_src, group*pad_width) cotangent directly (for packed-source
+    operands)."""
     t, width, slab = cotT.shape
     G = slab // group
     if pad_width > width:
         cotT = jnp.concatenate(
             [cotT, jnp.zeros((t, pad_width - width, slab), cotT.dtype)], axis=1)
     x = cotT.reshape(t, pad_width, G, group)
-    rows = jnp.transpose(x, (0, 2, 3, 1)).reshape(t * G, group * pad_width)
+    rows = jnp.transpose(x, (0, 2, 1, 3)).reshape(t * G, group * pad_width)
     out = jnp.zeros((n_rows_src, group * pad_width), cotT.dtype)
     return out.at[gidx.reshape(-1)].add(rows)
 

@@ -133,12 +133,12 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
         g_comps = [G[a, b] for a in range(3) for b in range(3)]
         g_packed = gathered_source(g_comps, 16)
         # forces_packed packs internally from (n_slots, 9); reuse its kernel
-        # via the packed gather directly
-        from ..ops.pallas.packed import gather_packed
+        # via the packed (field-major) gather directly
+        from ..ops.pallas.packed import gather_packed_sm
         from ..ops.pallas import pair_kernels as pk
 
         for b in lbuckets:
-            g_slab16 = gather_packed(g_packed, b.gidx8, b.slab_len, 16)
+            g_slab16 = gather_packed_sm(g_packed, b.gidx8, b.slab_len, 16)
             f_parts.append(pk._forces_fwd_impl(
                 b.restT_rows, b.static_slab, b.rows_of(G9_rows),
                 g_slab16, b.rows_of(vol_rows), cfg.h, interpret))

@@ -302,8 +302,12 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
             sr_parts.append(sr_b)
         fm_rows = jnp.concatenate(fm_parts, axis=0)
         sr16 = jnp.concatenate(sr_parts, axis=0).reshape(m, 16)
-        sr_packed = jnp.concatenate(
+        sr_pad = jnp.concatenate(
             [sr16, jnp.zeros((sb.n_slots - m, 16), dtype)], axis=0,
+        )
+        # pack_components rows are FIELD-major: transpose each group's block
+        sr_packed = jnp.transpose(
+            sr_pad.reshape(sb.n_slots // GROUP, GROUP, 16), (0, 2, 1),
         ).reshape(sb.n_slots // GROUP, GROUP * 16)
         f_parts = []
         for b in sb.buckets:
