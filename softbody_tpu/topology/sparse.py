@@ -46,10 +46,11 @@ class SparseBucket:
     tile_ids: np.ndarray   # (t_b,) int32 tile indices (into global tile order)
     group_ids: np.ndarray  # (t_b, n_groups) int32 candidate group ids
                            # (padded entries = the trailing all-empty group)
+    group: int = GROUP     # slots per candidate group
 
     @property
     def slab_len(self) -> int:
-        return self.group_ids.shape[1] * GROUP
+        return self.group_ids.shape[1] * self.group
 
 
 @dataclasses.dataclass
@@ -67,10 +68,11 @@ class SparseLayout:
     n_shards: int = 1             # >1: device-major tile order, one bucket per
                                   # (shard, cap); every shard has identical
                                   # bucket shapes (see build_sparse_layout)
+    group: int = GROUP            # slots per candidate group
 
     @property
     def empty_group(self) -> int:
-        return (self.n_slots - GROUP) // GROUP
+        return (self.n_slots - self.group) // self.group
 
 
 def _bucket_boundaries(sizes: np.ndarray, counts: np.ndarray, max_buckets: int):
@@ -113,6 +115,7 @@ def build_sparse_layout(
     pad_groups: int = 8,
     cell_scale: float = 1.0,
     n_shards: int = 1,
+    group: int = GROUP,
 ) -> SparseLayout:
     """Build the sparse candidate-group layout from rest positions.
 
@@ -129,6 +132,8 @@ def build_sparse_layout(
     slice of tile space and of every bucket.  Group ids stay GLOBAL (the
     packed gather sources are all-gathered across shards at runtime).
     """
+    gsz = int(group)
+    del group  # the name is reused below for the candidate-group-id array
     rest = np.asarray(rest, dtype=np.float64)
     n = rest.shape[0]
     reach = float(support_radius)
@@ -145,12 +150,13 @@ def build_sparse_layout(
     col_counts = np.bincount(col_inv, minlength=n_cols)
     col_first = np.concatenate([[0], np.cumsum(col_counts)])
 
-    pad_len = np.maximum(((col_counts + rows - 1) // rows) * rows, rows)
+    unit = int(np.lcm(rows, gsz))
+    pad_len = np.maximum(((col_counts + unit - 1) // unit) * unit, unit)
     col_slot_start = np.concatenate([[0], np.cumsum(pad_len)])
     body_slots = int(col_slot_start[-1])
-    n_slots = body_slots + GROUP  # one trailing all-empty group
+    n_slots = body_slots + gsz  # one trailing all-empty group
     n_tiles = body_slots // rows
-    empty_gid = body_slots // GROUP
+    empty_gid = body_slots // gsz
 
     slot_of_particle = np.empty(n, dtype=np.int64)
     slot_of_particle[order] = (
@@ -169,8 +175,8 @@ def build_sparse_layout(
         # all-NaN groups/tiles (pure padding) legitimately yield NaN boxes,
         # which the <= cull below treats as "never a candidate"
         warnings.simplefilter("ignore", category=RuntimeWarning)
-        g_lo = np.nanmin(body.reshape(-1, GROUP, 3), axis=1)  # (n_groups, 3)
-        g_hi = np.nanmax(body.reshape(-1, GROUP, 3), axis=1)
+        g_lo = np.nanmin(body.reshape(-1, gsz, 3), axis=1)  # (n_groups, 3)
+        g_hi = np.nanmax(body.reshape(-1, gsz, 3), axis=1)
         t_lo = np.nanmin(body.reshape(n_tiles, rows, 3), axis=1)
         t_hi = np.nanmax(body.reshape(n_tiles, rows, 3), axis=1)
 
@@ -178,8 +184,8 @@ def build_sparse_layout(
     # tile -> column
     n_tiles_col = (pad_len // rows).astype(np.int64)
     tile_col = np.repeat(np.arange(n_cols), n_tiles_col)
-    col_group_start = (col_slot_start // GROUP).astype(np.int64)
-    col_ngroups = (pad_len // GROUP).astype(np.int64)
+    col_group_start = (col_slot_start // gsz).astype(np.int64)
+    col_ngroups = (pad_len // gsz).astype(np.int64)
 
     # neighbor columns (3x3) as column ids, -1 when absent
     cx = (cols >> 21).astype(np.int64)
@@ -307,8 +313,8 @@ def build_sparse_layout(
             mat = np.vstack([mat, np.full((n_tiles_new - n_tiles, max_cap),
                                           empty_gid_old, dtype=np.int64)])
     body_slots = n_tiles_new * rows
-    n_slots = body_slots + GROUP
-    empty_gid = body_slots // GROUP
+    n_slots = body_slots + gsz
+    empty_gid = body_slots // gsz
 
     # ---- permute tiles BUCKET-MAJOR (shard-major first when n_shards > 1) so
     # each bucket is a contiguous tile range: per-bucket row gathers become
@@ -324,7 +330,7 @@ def build_sparse_layout(
         order_tiles = np.concatenate(ids_per_cap)  # old ids, new order
     inv_tile = np.empty(n_tiles_new, dtype=np.int64)
     inv_tile[order_tiles] = np.arange(n_tiles_new)
-    gpt = rows // GROUP  # groups per tile
+    gpt = max(rows // gsz, 1)  # groups per tile (gsz <= rows)
 
     slot_of_particle = (
         inv_tile[slot_of_particle // rows] * rows + slot_of_particle % rows
@@ -350,6 +356,7 @@ def build_sparse_layout(
                     tile_ids=np.arange(start, start + len(chunk_ids),
                                        dtype=np.int32),
                     group_ids=remap_groups(mat[chunk_ids, :cap]).astype(np.int32),
+                    group=gsz,
                 ))
                 start += len(chunk_ids)
     else:
@@ -357,6 +364,7 @@ def build_sparse_layout(
             buckets.append(SparseBucket(
                 tile_ids=np.arange(start, start + len(ids), dtype=np.int32),
                 group_ids=remap_groups(mat[ids, :cap]).astype(np.int32),
+                group=gsz,
             ))
             start += len(ids)
     n_tiles = n_tiles_new
@@ -385,6 +393,7 @@ def build_sparse_layout(
         buckets=buckets,
         stats=stats,
         n_shards=int(n_shards),
+        group=gsz,
     )
 
 
@@ -405,7 +414,7 @@ def validate_sparse_layout(layout: SparseLayout, rest: np.ndarray,
 
     # membership[tile] = set of groups -> test group_of_slot[j] in tile list
     tile_of_slot = np.arange(layout.n_tiles * layout.rows) // layout.rows
-    n_groups = layout.n_slots // GROUP
+    n_groups = layout.n_slots // layout.group
     member = np.zeros((layout.n_tiles, n_groups), dtype=bool)
     for b in layout.buckets:
         member[b.tile_ids[:, None], b.group_ids] = True
@@ -414,8 +423,8 @@ def validate_sparse_layout(layout: SparseLayout, rest: np.ndarray,
     sj = layout.slot_of_particle[j]
     ti = tile_of_slot[si]
     tj = tile_of_slot[sj]
-    gi = (si // GROUP).astype(np.int64)
-    gj = (sj // GROUP).astype(np.int64)
+    gi = (si // layout.group).astype(np.int64)
+    gj = (sj // layout.group).astype(np.int64)
     ok = member[ti, gj] & member[tj, gi]
     missing = int((~ok).sum())
     if missing:

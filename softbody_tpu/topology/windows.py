@@ -1,0 +1,338 @@
+"""Column-window slot layout — v6 successor to the sparse candidate groups.
+
+The sparse layout (topology/sparse.py) gathers per-tile candidate GROUPS into
+packed slabs; the XLA gather + lane-major transpose around every kernel move
+each dynamic byte ~4x (measured: ~2.6 ms/step of XLA glue at 100k).  This
+layout removes the gather entirely: slot space is column-contiguous and
+z-sorted, so a tile's candidates are NINE contiguous slot windows (one per
+column of the 3x3 rest-space xy neighborhood, z-clipped to the tile's
+reach-dilated z-range).  Kernels DMA those windows straight from lane-major
+(k, n_slots) HBM sources — no gather, no transpose, no per-tile gidx tables;
+just a (n_tiles, 9) int32 offset table and one static window length per
+bucket.
+
+Inertness argument (why window padding is safe): the cubic-spline kernel has
+support 2h = the build reach, so ANY real particle beyond reach contributes
+exactly zero force (branchless coefficients vanish at q >= 2).  A window may
+therefore over-cover its own column freely.  The ONE illegal overlap is
+spilling into a DIFFERENT column that is also in the tile's 3x3 set (those
+slots are in-reach and would be double-counted through that column's own
+window) — prevented by padding every column to at least the largest bucket
+window length and clamping windows inside their column.
+
+Replaces the same reference contract as sparse.py: wp.HashGrid built once
+over rest positions (reference sim.py:123-127), restructured for TPU DMA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .sparse import _bucket_boundaries
+
+ALIGN = 8  # window start alignment in slots (Mosaic sublane-dim alignment)
+
+
+@dataclasses.dataclass
+class WindowBucket:
+    """Tiles sharing one static per-column window-length vector (host-side)."""
+
+    tile_ids: np.ndarray   # (t_b,) int32 tile index (row-block index in slot space)
+    offsets: np.ndarray    # (t_b, 9) int32 window start SLOT per 3x3 column
+    windows: tuple         # 9 static window lengths (ALIGN multiples)
+
+    @property
+    def window(self) -> int:   # compat: max single length
+        return max(self.windows)
+
+    @property
+    def slab_len(self) -> int:
+        return int(sum(self.windows))
+
+
+@dataclasses.dataclass
+class WindowLayout:
+    """Host-side description of the column-window slot space."""
+
+    cell: float
+    rows: int
+    n_slots: int                  # body + inert tail (>= max window)
+    n_tiles: int                  # body_slots // rows (includes padding tiles)
+    tail_start: int               # first slot of the inert tail region
+    slot_of_particle: np.ndarray  # (N,)
+    particle_of_slot: np.ndarray  # (n_slots,) -> particle or -1
+    buckets: list[WindowBucket]
+    stats: dict
+
+
+def build_window_layout(
+    rest: np.ndarray,
+    support_radius: float,
+    rows: int = 32,
+    max_buckets: int = 8,
+    cell_scale: float = 1.0,
+) -> WindowLayout:
+    """Build the column-window layout from rest positions (all vectorized
+    numpy; no Python loops over particles or tiles except the 9-column sweep).
+    """
+    if cell_scale < 1.0:
+        raise ValueError("cell_scale < 1 breaks 3x3 window coverage")
+    rest = np.asarray(rest, dtype=np.float64)
+    n = rest.shape[0]
+    reach = float(support_radius)
+    cell = reach * cell_scale
+    lo = rest.min(axis=0) - 1e-9
+
+    # ---- columns: (x, y) cells, z-sorted dense
+    q = np.floor((rest[:, :2] - lo[None, :2]) / cell).astype(np.int64)
+    col_key = (q[:, 0] << 21) | q[:, 1]
+    cols, col_inv = np.unique(col_key, return_inverse=True)
+    n_cols = len(cols)
+    order = np.lexsort((rest[:, 2], col_inv))
+    col_sorted = col_inv[order]
+    col_counts = np.bincount(col_inv, minlength=n_cols)
+    col_first = np.concatenate([[0], np.cumsum(col_counts)])
+    z_sorted = rest[order, 2]  # z of real slots, column-major dense
+
+    # ---- phase A: real tiles (chunks of `rows` real slots per column) and
+    # their reach-dilated z-ranges
+    n_tiles_real = ((col_counts + rows - 1) // rows).astype(np.int64)
+    tile_col = np.repeat(np.arange(n_cols), n_tiles_real)       # (T,)
+    tile_rank = (np.arange(len(tile_col))
+                 - np.repeat(np.concatenate([[0], np.cumsum(n_tiles_real)])[:-1],
+                             n_tiles_real))                      # k within column
+    t_first = col_first[tile_col] + tile_rank * rows             # first REAL idx
+    t_last = np.minimum(t_first + rows, col_first[tile_col] + col_counts[tile_col]) - 1
+    t_zlo = z_sorted[t_first] - reach
+    t_zhi = z_sorted[t_last] + reach
+    T = len(tile_col)
+
+    # ---- neighbor columns (3x3), -1 when absent
+    cx = (cols >> 21).astype(np.int64)
+    cy = (cols & ((1 << 21) - 1)).astype(np.int64)
+    nbr = np.full((n_cols, 9), -1, dtype=np.int64)
+    for k, (dx, dy) in enumerate(
+            [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]):
+        keys = ((cx + dx) << 21) | (cy + dy)
+        pos = np.clip(np.searchsorted(cols, keys), 0, n_cols - 1)
+        hit = cols[pos] == keys
+        nbr[hit, k] = pos[hit]
+    tile_nbr = nbr[tile_col]                                     # (T, 9)
+
+    # ---- phase A windows in REAL per-column indices: [wlo, whi).
+    # Vectorized per-column searchsorted via the two-level key trick: keys =
+    # column_id * span + (z - zmin) are globally sorted (columns ascending,
+    # z ascending within); query keys clip z into [0, span) so out-of-range
+    # queries land on the column boundary.
+    zmin = z_sorted.min() if n else 0.0
+    span = (z_sorted.max() - zmin) + 1.0 if n else 1.0
+    keys = col_sorted * span + (z_sorted - zmin)
+
+    def search_cols(cs, vals, side):
+        qz = np.clip(vals - zmin, 0.0, np.nextafter(span, 0.0))
+        return np.searchsorted(keys, cs * span + qz, side=side)
+
+    wlo = np.zeros((T, 9), np.int64)
+    whi = np.zeros((T, 9), np.int64)
+    for k in range(9):
+        c = tile_nbr[:, k]
+        ok = c >= 0
+        cs = np.where(ok, c, 0)
+        base = col_first[cs]
+        lo_g = search_cols(cs, t_zlo, "left")
+        hi_g = search_cols(cs, t_zhi, "right")
+        wlo[:, k] = np.where(ok, lo_g - base, 0)
+        whi[:, k] = np.where(ok, hi_g - base, 0)
+
+    # align starts down; lengths in real-slot units (per column k)
+    wlo_al = (wlo // ALIGN) * ALIGN
+    wlen = whi - wlo_al
+    wlen = ((wlen + ALIGN - 1) // ALIGN) * ALIGN
+    wlen = np.maximum(wlen, ALIGN)
+
+    # ---- canonicalize window ORDER by descending length: the kernel treats
+    # the 9 windows as anonymous slab chunks, so each tile's windows can be
+    # permuted freely; after sorting, the per-bucket cap vector is a max of
+    # ORDER STATISTICS, which is far tighter than per-position maxima
+    # (measured at 100k: unsorted per-k caps 1214 pairs/particle, single
+    # per-tile max cap 865, sorted per-k caps below).
+    sort_idx = np.argsort(-wlen, axis=1, kind="stable")
+    wlen = np.take_along_axis(wlen, sort_idx, axis=1)
+    wlo_al = np.take_along_axis(wlo_al, sort_idx, axis=1)
+    tile_nbr = np.take_along_axis(tile_nbr, sort_idx, axis=1)
+
+    # ---- bucket on TOTAL window length (DP proxy); per-bucket caps are the
+    # per-rank maxima (9 static DMA lengths per bucket)
+    s_tile = wlen.sum(axis=1)
+    sizes, counts = np.unique(s_tile, return_counts=True)
+    caps = _bucket_boundaries(sizes, counts, max_buckets)
+    caps_arr = np.asarray(caps)
+    bucket_of = np.searchsorted(caps_arr, s_tile)
+    cap_vecs = []
+    for bi in range(len(caps)):
+        sel = bucket_of == bi
+        cap_vecs.append(wlen[sel].max(axis=0) if sel.any()
+                        else np.full(9, ALIGN, np.int64))
+
+    # ---- phase B: final column padding.  A column must fit the clamped
+    # window of every (tile, k) that references it: scatter-max of the cap.
+    col_need = np.zeros(n_cols, np.int64)
+    for k in range(9):
+        c = tile_nbr[:, k]
+        ok = c >= 0
+        capk = np.asarray([cap_vecs[b][k] for b in bucket_of])
+        np.maximum.at(col_need, c[ok], capk[ok])
+    w_max = int(max(int(v.max()) for v in cap_vecs))
+    pad_len = np.maximum(((col_counts + rows - 1) // rows) * rows, rows)
+    pad_len = np.maximum(pad_len, ((col_need + rows - 1) // rows) * rows)
+    col_slot_start = np.concatenate([[0], np.cumsum(pad_len)])
+    body_slots = int(col_slot_start[-1])
+    tail = ((w_max + ALIGN - 1) // ALIGN) * ALIGN
+    n_slots = body_slots + tail
+    n_tiles = body_slots // rows
+
+    slot_of_particle = np.empty(n, dtype=np.int64)
+    slot_of_particle[order] = (
+        col_slot_start[col_sorted] + (np.arange(n) - col_first[col_sorted])
+    )
+    particle_of_slot = np.full(n_slots, -1, dtype=np.int64)
+    particle_of_slot[slot_of_particle] = np.arange(n)
+
+    # real-tile index -> global tile id (columns contribute pad_len//rows tiles)
+    n_tiles_col = (pad_len // rows).astype(np.int64)
+    col_tile_start = np.concatenate([[0], np.cumsum(n_tiles_col)])
+    tid_real = col_tile_start[tile_col] + tile_rank
+
+    # ---- window offsets in final slot space, clamped into the column
+    offsets = np.full((T, 9), body_slots, dtype=np.int64)  # default: inert tail
+    capk_of_tile = np.zeros((T, 9), np.int64)
+    for k in range(9):
+        capk_of_tile[:, k] = [cap_vecs[b][k] for b in bucket_of]
+    for k in range(9):
+        c = tile_nbr[:, k]
+        ok = c >= 0
+        cs = np.where(ok, c, 0)
+        start = col_slot_start[cs] + wlo_al[:, k]
+        hi_lim = col_slot_start[cs] + pad_len[cs] - capk_of_tile[:, k]
+        start = np.minimum(start, hi_lim)
+        start = np.maximum(start, col_slot_start[cs])
+        start = (start // ALIGN) * ALIGN  # col starts are rows-aligned, safe
+        offsets[:, k] = np.where(ok, start, body_slots)
+
+    # ---- buckets: group REAL tiles by bucket id; padding tiles (all-empty)
+    # are excluded — the forces array tail stays zero without running them.
+    buckets = []
+    for bi in range(len(caps)):
+        sel = np.flatnonzero(bucket_of == bi)
+        if not len(sel):
+            continue
+        buckets.append(WindowBucket(
+            tile_ids=tid_real[sel].astype(np.int32),
+            offsets=offsets[sel].astype(np.int32),
+            windows=tuple(int(x) for x in cap_vecs[bi]),
+        ))
+
+    padded_pairs = int(sum(len(b.tile_ids) * b.slab_len * rows for b in buckets))
+    stats = {
+        "n_slots": n_slots,
+        "n_tiles": n_tiles,
+        "n_real_tiles": int(T),
+        "n_buckets": len(buckets),
+        "bucket_caps": [b.slab_len for b in buckets],
+        "bucket_tiles": [len(b.tile_ids) for b in buckets],
+        "padded_pairs_per_step": padded_pairs,
+        "pairs_per_particle": padded_pairs / max(n, 1),
+        "slot_inflation": n_slots / max(n, 1),
+        "w_max": w_max,
+    }
+    return WindowLayout(
+        cell=float(cell),
+        rows=int(rows),
+        n_slots=int(n_slots),
+        n_tiles=int(n_tiles),
+        tail_start=int(body_slots),
+        slot_of_particle=slot_of_particle,
+        particle_of_slot=particle_of_slot,
+        buckets=buckets,
+        stats=stats,
+    )
+
+
+def validate_window_layout(layout: WindowLayout, rest: np.ndarray,
+                           support_radius: float) -> dict:
+    """Check (a) every true rest-neighbor pair is covered by a window of the
+    other particle's tile, and (b) no tile's windows overlap each other on
+    REAL slots (overlap on inert tail/padding slots is harmless)."""
+    rest = np.asarray(rest, np.float64)
+    n = rest.shape[0]
+    rows = layout.rows
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(rest)
+    pairs = tree.query_pairs(support_radius, output_type="ndarray")
+    i, j = pairs[:, 0], pairs[:, 1]
+
+    # slot -> covering windows as a boolean membership matrix (n_tiles, n_slots)
+    # is too big; instead mark, per tile, covered slot ranges and test via
+    # interval arithmetic: slot s is covered by tile t iff s in any
+    # [o_k, o_k + W_b).
+    tile_of_slot = np.arange(layout.n_tiles * rows) // rows
+    si = layout.slot_of_particle[i]
+    sj = layout.slot_of_particle[j]
+
+    off = np.zeros((layout.n_tiles, 9), np.int64)
+    capv = np.zeros((layout.n_tiles, 9), np.int64)
+    seen = np.zeros((layout.n_tiles,), bool)
+    for b in layout.buckets:
+        off[b.tile_ids] = b.offsets
+        capv[b.tile_ids] = np.asarray(b.windows)[None, :]
+        seen[b.tile_ids] = True
+
+    def covered(t_ids, s):
+        o = off[t_ids]                            # (P, 9)
+        c = capv[t_ids]                           # (P, 9)
+        return (((s[:, None] >= o) & (s[:, None] < o + c)).any(axis=1)
+                & seen[t_ids])
+
+    ok = covered(tile_of_slot[si], sj) & covered(tile_of_slot[sj], si)
+    missing = int((~ok).sum())
+    if missing:
+        raise AssertionError(f"{missing}/{len(i)} true pairs uncovered")
+
+    # self coverage: every particle's own slot covered by its own tile
+    s_all = layout.slot_of_particle
+    ok_self = covered(tile_of_slot[s_all], s_all)
+    if int((~ok_self).sum()):
+        raise AssertionError("self slots uncovered")
+
+    # overlap check on REAL slots: windows of one tile must not double-count
+    real = layout.particle_of_slot >= 0
+    real_cum = np.concatenate([[0], np.cumsum(real)])
+
+    def n_real(lo_, hi_):  # real slots in [lo_, hi_)
+        return real_cum[hi_] - real_cum[lo_]
+
+    for b in layout.buckets:
+        w = np.asarray(b.windows)[None, :]
+        order_ = np.argsort(b.offsets, axis=1)
+        o_s = np.take_along_axis(b.offsets.astype(np.int64), order_, axis=1)
+        w_s = np.take_along_axis(np.broadcast_to(w, b.offsets.shape), order_,
+                                 axis=1)
+        end_s = o_s + w_s
+        bad = o_s[:, 1:] < end_s[:, :-1]
+        if bad.any():
+            tt, kk = np.nonzero(bad)
+            for t_, k_ in zip(tt[:256], kk[:256]):
+                lo_ = int(o_s[t_, k_ + 1])
+                hi_ = int(min(end_s[t_, k_], end_s[t_, k_ + 1]))
+                if n_real(lo_, hi_) > 0:
+                    raise AssertionError(
+                        f"tile {b.tile_ids[t_]} windows overlap real slots")
+    true_pairs = 2 * len(i) + n
+    return {
+        "true_pairs": true_pairs,
+        "padded_pairs": layout.stats["padded_pairs_per_step"],
+        "waste": layout.stats["padded_pairs_per_step"] / max(true_pairs, 1),
+    }
