@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init", "-i", action="store_true", default=False)
     # extensions
     p.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="gather")
+    p.add_argument("--layout", choices=["sparse", "windows"], default="sparse",
+                   help="pallas-backend slot layout: gathered candidate groups "
+                        "or gather-free DMA column windows")
     p.add_argument("--asset-dir", type=str, default=None,
                    help="dir with {name}/point_cloud_downsampled.ply etc (sim.py:41-45)")
     p.add_argument("--model-dir", type=str, default=None,
@@ -110,7 +113,13 @@ def main(argv=None):
         # short episodes (tests/smoke runs): sample every frame
         cfg = cfg.replace(target_frames=cfg.frames)
 
-    if args.backend == "pallas":
+    if args.backend == "pallas" and args.layout == "windows":
+        # gather-free column-window layout (topology/windows.py)
+        from .sim.windows import build_window_scene
+
+        cfg = cfg.replace(backend="pallas")
+        scene, sop = build_window_scene(pts, cfg, out_num=out_num)
+    elif args.backend == "pallas":
         # flagship path: sparse candidate-group layout (topology/sparse.py)
         from .sim.sparse import build_sparse_scene
 
