@@ -53,60 +53,99 @@ def _win_dsts(windows):
     return tuple(out), d
 
 
+def _copies(offs_ref, i, src_ref, buf, sems, windows, dsts):
+    return [
+        pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(offs_ref[i, k], w)],
+            buf.at[:, pl.ds(d, w)],
+            sems.at[k],
+        )
+        for k, (w, d) in enumerate(zip(windows, dsts))
+    ]
+
+
 def _dma_windows(offs_ref, i, src_ref, buf, sems, windows, dsts):
-    for k, (w, d) in enumerate(zip(windows, dsts)):
-        pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(offs_ref[i, k], w)],
-            buf.at[:, pl.ds(d, w)],
-            sems.at[k],
-        ).start()
-    for k, (w, d) in enumerate(zip(windows, dsts)):
-        pltpu.make_async_copy(
-            src_ref.at[:, pl.ds(offs_ref[i, k], w)],
-            buf.at[:, pl.ds(d, w)],
-            sems.at[k],
-        ).wait()
+    for c in _copies(offs_ref, i, src_ref, buf, sems, windows, dsts):
+        c.start()
+    for c in _copies(offs_ref, i, src_ref, buf, sems, windows, dsts):
+        c.wait()
+
+
+def _double_buffered(offs_ref, src_ref, buf, sems, windows, dsts, body):
+    """Classic two-slot DMA pipeline: tile i+1's windows stream in while tile
+    i computes.  buf: (2, k, SL) scratch; sems: (2, 9).  The body runs twice
+    under parity predicates so every buffer index stays STATIC (Mosaic has no
+    dynamic-sublane compute reads)."""
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _prologue():
+        for c in _copies(offs_ref, i, src_ref, buf.at[0], sems.at[0],
+                         windows, dsts):
+            c.start()
+
+    @pl.when(i + 1 < nt)
+    def _prefetch():
+        for par in (0, 1):
+            @pl.when((i + 1) % 2 == par)
+            def _(par=par):
+                for c in _copies(offs_ref, i + 1, src_ref, buf.at[par],
+                                 sems.at[par], windows, dsts):
+                    c.start()
+
+    for par in (0, 1):
+        @pl.when(i % 2 == par)
+        def _(par=par):
+            for c in _copies(offs_ref, i, src_ref, buf.at[par], sems.at[par],
+                             windows, dsts):
+                c.wait()
+            body(buf[par])
 
 
 # ============================================================ K1 (moments)
 def _moments_win_kernel(offs_ref, src_any_ref, own_ref, ay_ref, buf, sems,
                         *, h, windows, dsts):
-    i = pl.program_id(0)
-    _dma_windows(offs_ref, i, src_any_ref, buf, sems, windows, dsts)
     own = own_ref[0]                 # (8, rows)
     rr = own[3:6]                    # (3, rows) restT of the tile's own rows
     rows = rr.shape[1]
-    dx, w, gfac = pk._pair_coeffs(rr, buf[3:6], h)
-    cA = w * buf[6:7]                # (rows, SL)
-    gv = gfac * buf[7:8]
-    lhs = jnp.concatenate(
-        [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
-        axis=0)
-    dots = pk._dot_t(lhs, buf[0:3])  # (6 rows, 3)
-    ay_ref[0] = jnp.concatenate(
-        [dots[b * rows:(b + 1) * rows, :3] for b in range(6)], axis=1)
+
+    def body(bufp):
+        dx, w, gfac = pk._pair_coeffs(rr, bufp[3:6], h)
+        cA = w * bufp[6:7]           # (rows, SL)
+        gv = gfac * bufp[7:8]
+        lhs = jnp.concatenate(
+            [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
+            axis=0)
+        dots = pk._dot_t(lhs, bufp[0:3])  # (6 rows, 3)
+        ay_ref[0] = jnp.concatenate(
+            [dots[b * rows:(b + 1) * rows, :3] for b in range(6)], axis=1)
+
+    _double_buffered(offs_ref, src_any_ref, buf, sems, windows, dsts, body)
 
 
 def _moments_win_bwd_kernel(offs_ref, src_any_ref, own_ref, day_ref,
                             dpsT_ref, buf, sems, *, h, windows, dsts):
     """d pos window slab (3, SL) from day (rows, 18) — window-DMA version of
     pair_kernels._moments_bwd_kernel (stages the static rows by DMA too)."""
-    i = pl.program_id(0)
-    _dma_windows(offs_ref, i, src_any_ref, buf, sems, windows, dsts)
     own = own_ref[0]
     rr = own[3:6]
     rows = rr.shape[1]
-    dx, w, gfac = pk._pair_coeffs(rr, buf[3:6], h)
-    cA = w * buf[6:7]
-    gv = gfac * buf[7:8]
     day = day_ref[0]                 # (rows, 18)
-    lhs = jnp.concatenate(
-        [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
-        axis=0)
-    cts = jnp.concatenate(
-        [jnp.stack([day[:, 3 * blk + a] for a in range(3)], axis=1)
-         for blk in range(6)], axis=0)                    # (6 rows, 3)
-    dpsT_ref[0] = pk._dot_rows(cts, lhs)                  # (3, SL)
+
+    def body(bufp):
+        dx, w, gfac = pk._pair_coeffs(rr, bufp[3:6], h)
+        cA = w * bufp[6:7]
+        gv = gfac * bufp[7:8]
+        lhs = jnp.concatenate(
+            [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
+            axis=0)
+        cts = jnp.concatenate(
+            [jnp.stack([day[:, 3 * blk + a] for a in range(3)], axis=1)
+             for blk in range(6)], axis=0)                # (6 rows, 3)
+        dpsT_ref[0] = pk._dot_rows(cts, lhs)              # (3, SL)
+
+    _double_buffered(offs_ref, src_any_ref, buf, sems, windows, dsts, body)
 
 
 def _win_call(kernel, n_out, out_shapes, out_specs, scalar_args, src, vmem_ins,
@@ -154,8 +193,8 @@ def _moments_win_fwd(k1src, own_rows, offs, tile_start, windows, h, interpret):
         out_specs=pl.BlockSpec((1, rows, 18), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((K1_ROWS, SL), k1src.dtype),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, K1_ROWS, SL), k1src.dtype),
+            pltpu.SemaphoreType.DMA((2, len(windows))),
         ],
     )
     return pl.pallas_call(
@@ -193,8 +232,8 @@ def _moments_win_vjp_bwd(tile_start, windows, h, interpret, res, day):
         out_specs=pl.BlockSpec((1, 3, SL), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((K1_ROWS, SL), k1src.dtype),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, K1_ROWS, SL), k1src.dtype),
+            pltpu.SemaphoreType.DMA((2, len(windows))),
         ],
     )
     dpsT = pl.pallas_call(
@@ -244,8 +283,6 @@ def _forces_win_kernel(offs_ref, src_any_ref, own_ref, fm_ref, f_ref, buf,
                        sems, *, h, windows, dsts):
     """Warp pairing over window slabs (see pair_kernels._forces_warp_kernel_v2;
     buf rows: 0:6 S, 6:15 R^T, 15:18 restT, 18 mass, 19 vol)."""
-    i = pl.program_id(0)
-    _dma_windows(offs_ref, i, src_any_ref, buf, sems, windows, dsts)
     own = own_ref[0]
     rr = own[3:6]
     fm = fm_ref[...]                  # (19, rows) LANE-MAJOR [F_9 | M_9 | V_i]
@@ -253,30 +290,33 @@ def _forces_win_kernel(offs_ref, src_any_ref, own_ref, fm_ref, f_ref, buf,
     f32 = rr.dtype
     vol_rows = fm[18][:, None]
 
-    termj = jnp.zeros((rows, 3), f32)
-    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
-    for k, (w, d) in enumerate(zip(windows, dsts)):
-        rs = buf[15:18, d:d + w]
-        dx, gfac = pk._pair_coeffs_g(rr, rs, h)
-        gv = gfac * buf[19:20, d:d + w]                  # V_j folded
-        sT = buf[0:15, d:d + w].astype(f32)
-        nw = [gv * dx[b] for b in range(3)]
-        z = [sum(nw[b] * sT[_SYM6[3 * dd + b]:_SYM6[3 * dd + b] + 1, :]
-                 for b in range(3)) for dd in range(3)]
-        u_stack = jnp.concatenate(
-            [sum(fm[3 * c + dd][:, None] * z[dd]
-                 for dd in range(3)) for c in range(3)], axis=0)
-        dots = jax.lax.dot_general(
-            u_stack, sT[6:15], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                  # (3 rows, 9)
-        for c in range(3):
-            termj = termj + dots[c * rows:(c + 1) * rows, 3 * c:3 * c + 3]
-        for b in range(3):
-            svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
-    term_i = jnp.concatenate(
-        [sum(fm[9 + 3 * a + b][:, None] * svnw[b] for b in range(3))
-         for a in range(3)], axis=1)
-    f_ref[0] = 0.5 * vol_rows * (termj + term_i)
+    def body(bufp):
+        termj = jnp.zeros((rows, 3), f32)
+        svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
+        for k, (w, d) in enumerate(zip(windows, dsts)):
+            rs = bufp[15:18, d:d + w]
+            dx, gfac = pk._pair_coeffs_g(rr, rs, h)
+            gv = gfac * bufp[19:20, d:d + w]             # V_j folded
+            sT = bufp[0:15, d:d + w].astype(f32)
+            nw = [gv * dx[b] for b in range(3)]
+            z = [sum(nw[b] * sT[_SYM6[3 * dd + b]:_SYM6[3 * dd + b] + 1, :]
+                     for b in range(3)) for dd in range(3)]
+            u_stack = jnp.concatenate(
+                [sum(fm[3 * c + dd][:, None] * z[dd]
+                     for dd in range(3)) for c in range(3)], axis=0)
+            dots = jax.lax.dot_general(
+                u_stack, sT[6:15], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)              # (3 rows, 9)
+            for c in range(3):
+                termj = termj + dots[c * rows:(c + 1) * rows, 3 * c:3 * c + 3]
+            for b in range(3):
+                svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
+        term_i = jnp.concatenate(
+            [sum(fm[9 + 3 * a + b][:, None] * svnw[b] for b in range(3))
+             for a in range(3)], axis=1)
+        f_ref[0] = 0.5 * vol_rows * (termj + term_i)
+
+    _double_buffered(offs_ref, src_any_ref, buf, sems, windows, dsts, body)
 
 
 def _forces_win_bwd_kernel(offs_ref, src_any_ref, own_ref, fm_ref, df_ref,
@@ -284,8 +324,6 @@ def _forces_win_bwd_kernel(offs_ref, src_any_ref, own_ref, fm_ref, df_ref,
                            *, h, windows, dsts):
     """Backward of _forces_win_kernel: dfm (rows, 19) and the fused window
     cotangent dsrT (15, SL) = [dS_6 | dR^T_9]."""
-    i = pl.program_id(0)
-    _dma_windows(offs_ref, i, src_any_ref, buf, sems, windows, dsts)
     own = own_ref[0]
     rr = own[3:6]
     fm = fm_ref[...]                  # (19, rows) LANE-MAJOR
@@ -293,48 +331,52 @@ def _forces_win_bwd_kernel(offs_ref, src_any_ref, own_ref, fm_ref, df_ref,
     df = df_ref[0] * (0.5 * vol_rows)
     rows = rr.shape[1]
     f32 = rr.dtype
-    svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
-    df9_acc = [jnp.zeros_like(vol_rows) for _ in range(9)]
-    for k, (w, d) in enumerate(zip(windows, dsts)):
-        rs = buf[15:18, d:d + w]
-        dx, gfac = pk._pair_coeffs_g(rr, rs, h)
-        gv = gfac * buf[19:20, d:d + w]
-        sT = buf[0:15, d:d + w].astype(f32)
-        nw = [gv * dx[b] for b in range(3)]
-        z = [sum(nw[b] * sT[_SYM6[3 * dd + b]:_SYM6[3 * dd + b] + 1, :]
-                 for b in range(3)) for dd in range(3)]
-        for b in range(3):
-            svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
-        u_stack = jnp.concatenate(
-            [sum(fm[3 * c + dd][:, None] * z[dd] for dd in range(3))
-             for c in range(3)], axis=0)
-        wprime = []
-        for c in range(3):
-            contrib = pk._dot_rows(df, u_stack[c * rows:(c + 1) * rows])
-            dsrT_ref[0, 6 + 3 * c:9 + 3 * c, d:d + w] = contrib
-            wprime.append(
-                sum(df[:, a: a + 1] * sT[6 + 3 * c + a:7 + 3 * c + a, :]
-                    for a in range(3)))
-        y = []
-        for dd in range(3):
-            for c in range(3):
-                df9_acc[3 * c + dd] = df9_acc[3 * c + dd] + jnp.sum(
-                    z[dd] * wprime[c], axis=1, keepdims=True)
-            y.append(sum(fm[3 * c + dd][:, None] * wprime[c]
-                         for c in range(3)))
-        ds6 = [None] * 6
-        for dd in range(3):
+
+    def body(bufp):
+        svnw = [jnp.zeros_like(vol_rows) for _ in range(3)]
+        df9_acc = [jnp.zeros_like(vol_rows) for _ in range(9)]
+        for k, (w, d) in enumerate(zip(windows, dsts)):
+            rs = bufp[15:18, d:d + w]
+            dx, gfac = pk._pair_coeffs_g(rr, rs, h)
+            gv = gfac * bufp[19:20, d:d + w]
+            sT = bufp[0:15, d:d + w].astype(f32)
+            nw = [gv * dx[b] for b in range(3)]
+            z = [sum(nw[b] * sT[_SYM6[3 * dd + b]:_SYM6[3 * dd + b] + 1, :]
+                     for b in range(3)) for dd in range(3)]
             for b in range(3):
-                k6 = _SYM6[3 * dd + b]
-                term = jnp.sum(nw[b] * y[dd], axis=0, keepdims=True)
-                ds6[k6] = term if ds6[k6] is None else ds6[k6] + term
-        dsrT_ref[0, 0:6, d:d + w] = jnp.concatenate(ds6, axis=0)
-    dm_cols = [None] * 9
-    for a in range(3):
-        for b in range(3):
-            dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b]
-    dfm_ref[0] = jnp.concatenate(
-        df9_acc + dm_cols + [jnp.zeros_like(vol_rows)], axis=1)
+                svnw[b] = svnw[b] + jnp.sum(nw[b], axis=1, keepdims=True)
+            u_stack = jnp.concatenate(
+                [sum(fm[3 * c + dd][:, None] * z[dd] for dd in range(3))
+                 for c in range(3)], axis=0)
+            wprime = []
+            for c in range(3):
+                contrib = pk._dot_rows(df, u_stack[c * rows:(c + 1) * rows])
+                dsrT_ref[0, 6 + 3 * c:9 + 3 * c, d:d + w] = contrib
+                wprime.append(
+                    sum(df[:, a: a + 1] * sT[6 + 3 * c + a:7 + 3 * c + a, :]
+                        for a in range(3)))
+            y = []
+            for dd in range(3):
+                for c in range(3):
+                    df9_acc[3 * c + dd] = df9_acc[3 * c + dd] + jnp.sum(
+                        z[dd] * wprime[c], axis=1, keepdims=True)
+                y.append(sum(fm[3 * c + dd][:, None] * wprime[c]
+                             for c in range(3)))
+            ds6 = [None] * 6
+            for dd in range(3):
+                for b in range(3):
+                    k6 = _SYM6[3 * dd + b]
+                    term = jnp.sum(nw[b] * y[dd], axis=0, keepdims=True)
+                    ds6[k6] = term if ds6[k6] is None else ds6[k6] + term
+            dsrT_ref[0, 0:6, d:d + w] = jnp.concatenate(ds6, axis=0)
+        dm_cols = [None] * 9
+        for a in range(3):
+            for b in range(3):
+                dm_cols[3 * a + b] = df[:, a: a + 1] * svnw[b]
+        dfm_ref[0] = jnp.concatenate(
+            df9_acc + dm_cols + [jnp.zeros_like(vol_rows)], axis=1)
+
+    _double_buffered(offs_ref, src_any_ref, buf, sems, windows, dsts, body)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -373,8 +415,8 @@ def _forces_win_fwd(k2src, own_rows, fmT_b, offs, tile_start, windows, h,
         out_specs=pl.BlockSpec((1, rows, 3), lambda i, offs: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((K2_ROWS, SL), k2src.dtype),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, K2_ROWS, SL), k2src.dtype),
+            pltpu.SemaphoreType.DMA((2, len(windows))),
         ],
     )
     return pl.pallas_call(
@@ -418,8 +460,8 @@ def _forces_win_vjp_bwd(tile_start, windows, h, interpret, res, df):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((K2_ROWS, SL), k2src.dtype),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.VMEM((2, K2_ROWS, SL), k2src.dtype),
+            pltpu.SemaphoreType.DMA((2, len(windows))),
         ],
     )
     dfm, dsrT = pl.pallas_call(

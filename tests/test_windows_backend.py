@@ -80,6 +80,7 @@ def test_window_forces_match_sparse(small_body):
     np.testing.assert_allclose(f_w, f_s, atol=2e-5 * scale, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_window_rollout_and_grad_match_sparse():
     """f64 (interpret kernels): rollout loss + dL/dx parity vs sparse, and a
     central-difference check of the window path itself.
