@@ -109,9 +109,18 @@ def build_window_layout(
                              n_tiles_real))                      # k within column
     t_first = col_first[tile_col] + tile_rank * rows             # first REAL idx
     t_last = np.minimum(t_first + rows, col_first[tile_col] + col_counts[tile_col]) - 1
-    t_zlo = z_sorted[t_first] - reach
-    t_zhi = z_sorted[t_last] + reach
+    t_z0 = z_sorted[t_first]
+    t_z1 = z_sorted[t_last]
     T = len(tile_col)
+    # tile xy bounding boxes (for per-column z-dilation): segment min/max over
+    # the tile's real slots
+    xy_sorted = rest[order, :2]
+    t_xylo = np.stack([np.minimum.reduceat(xy_sorted[:, a], t_first)
+                       for a in range(2)], axis=1)
+    t_xyhi = np.stack([np.maximum.reduceat(xy_sorted[:, a], t_first)
+                       for a in range(2)], axis=1)
+    # (reduceat segments end at the next t_first; real slots are dense and
+    # column-contiguous, so segments are exactly each tile's real slots)
 
     # ---- neighbor columns ((2wr+1)^2 window), -1 when absent
     cx = (cols >> 21).astype(np.int64)
@@ -146,16 +155,29 @@ def build_window_layout(
         ok = c >= 0
         cs = np.where(ok, c, 0)
         base = col_first[cs]
-        lo_g = search_cols(cs, t_zlo, "left")
-        hi_g = search_cols(cs, t_zhi, "right")
-        wlo[:, k] = np.where(ok, lo_g - base, 0)
-        whi[:, k] = np.where(ok, hi_g - base, 0)
+        # per-(tile, column) z-dilation: a column at xy-gap g from the tile's
+        # xy bbox only reaches sqrt(reach^2 - g^2) in z (full +-reach for the
+        # own/edge-adjacent columns, much less for corner columns) — measured
+        # ~12% fewer candidate pairs at 100k vs the uniform +-reach window
+        rect_lo = lo[None, :2] + np.stack([cx[cs], cy[cs]], axis=1) * cell
+        rect_hi = rect_lo + cell
+        gap = np.maximum(np.maximum(rect_lo - t_xyhi, t_xylo - rect_hi), 0.0)
+        g2 = (gap * gap).sum(axis=1)
+        dz = np.sqrt(np.maximum(reach * reach - g2, 0.0))
+        lo_g = search_cols(cs, t_z0 - dz, "left")
+        hi_g = search_cols(cs, t_z1 + dz, "right")
+        keep = ok & (g2 < reach * reach)
+        wlo[:, k] = np.where(keep, lo_g - base, 0)
+        whi[:, k] = np.where(keep, hi_g - base, 0)
+        tile_nbr[:, k] = np.where(keep, tile_nbr[:, k], -1)
 
     # align starts down; lengths in real-slot units (per column k)
     wlo_al = (wlo // ALIGN) * ALIGN
     wlen = whi - wlo_al
     wlen = ((wlen + ALIGN - 1) // ALIGN) * ALIGN
-    wlen = np.maximum(wlen, ALIGN)
+    wlen = np.maximum(wlen, ALIGN)  # caps stay >= ALIGN (zero-length DMAs
+                                    # are not expressible; tail windows are
+                                    # inert)
 
     # ---- canonicalize window ORDER by descending length: the kernel treats
     # the 9 windows as anonymous slab chunks, so each tile's windows can be
