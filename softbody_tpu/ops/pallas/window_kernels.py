@@ -148,20 +148,6 @@ def _moments_win_bwd_kernel(offs_ref, src_any_ref, own_ref, day_ref,
     _double_buffered(offs_ref, src_any_ref, buf, sems, windows, dsts, body)
 
 
-def _win_call(kernel, n_out, out_shapes, out_specs, scalar_args, src, vmem_ins,
-              vmem_specs, scratch, grid, interpret):
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=len(scalar_args),
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + vmem_specs,
-        out_specs=out_specs,
-        scratch_shapes=scratch,
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shapes, interpret=interpret,
-    )(*scalar_args, src, *vmem_ins)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def moments_win(k1src, own_rows, offs, tile_start, windows, h, interpret=False):
     """Raw moment dots over window slabs: (t_b, rows, 18) = [A | Y] in the
@@ -259,7 +245,6 @@ def scatter_windows_add(cotT, offs, windows, n_slots, src_rows, take):
     granularity."""
     t_b, _, SL = cotT.shape
     G = SL // 8
-    dsts, _ = _win_dsts(windows)
     # group ids per window position (t_b, G)
     parts = [offs[:, k:k + 1] // 8 + jnp.arange(w // 8, dtype=offs.dtype)[None]
              for k, w in enumerate(windows)]
