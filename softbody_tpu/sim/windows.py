@@ -62,7 +62,7 @@ class WinBucket:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["buckets", "own_rows", "static5", "rs6"],
-    meta_fields=["rows", "n_tiles", "n_slots"],
+    meta_fields=["rows", "n_tiles", "n_slots", "n_shards"],
 )
 @dataclasses.dataclass(frozen=True)
 class WinBlocked:
@@ -75,6 +75,7 @@ class WinBlocked:
     rows: int
     n_tiles: int
     n_slots: int
+    n_shards: int = 1
 
 
 def build_window_scene(
@@ -88,6 +89,7 @@ def build_window_scene(
     obstacles=None,
     layout: WindowLayout | None = None,
     interpret=None,
+    n_shards: int = 1,
 ):
     """Returns (scene, slot_of_particle) with Scene.blocked a WinBlocked."""
     rest = np.asarray(points, dtype=np.float64)
@@ -95,7 +97,8 @@ def build_window_scene(
     dtype = cfg.dtype
     if layout is None:
         layout = build_window_layout(rest, 2.0 * cfg.h, rows=rows,
-                                     max_buckets=max_buckets)
+                                     max_buckets=max_buckets,
+                                     n_shards=n_shards)
     rows = layout.rows
     ns = layout.n_slots
     sop = layout.slot_of_particle
@@ -161,6 +164,7 @@ def build_window_scene(
         rows=rows,
         n_tiles=n_tiles,
         n_slots=ns,
+        n_shards=layout.n_shards,
     )
     mats = Materials(
         mass=jnp.asarray(mass_integ, dtype),

@@ -65,6 +65,7 @@ class WindowLayout:
     particle_of_slot: np.ndarray  # (n_slots,) -> particle or -1
     buckets: list[WindowBucket]
     stats: dict
+    n_shards: int = 1
 
 
 def build_window_layout(
@@ -73,6 +74,7 @@ def build_window_layout(
     rows: int = 32,
     max_buckets: int = 8,
     cell_scale: float = 1.0,
+    n_shards: int = 1,
 ) -> WindowLayout:
     """Build the column-window layout from rest positions (all vectorized
     numpy; no Python loops over particles or tiles except the column sweep).
@@ -212,9 +214,6 @@ def build_window_layout(
                         else np.full(nwin, ALIGN, np.int64))
     w_max = int(max(int(v.max()) for v in cap_vecs))
 
-    # ---- permute columns bucket-major (stable: preserves xy-key order inside
-    # a bucket, keeping intra-bucket locality)
-    col_perm = np.argsort(cbucket, kind="stable")           # new order -> old col
     # per-column padded length: must fit the clamped window of every (tile, k)
     # referencing it
     col_need = np.zeros(n_cols, np.int64)
@@ -226,11 +225,53 @@ def build_window_layout(
     pad_len_old = np.maximum(((col_counts + rows - 1) // rows) * rows, rows)
     pad_len_old = np.maximum(pad_len_old,
                              ((col_need + rows - 1) // rows) * rows)
-    pad_len = pad_len_old[col_perm]                          # new order
+    tiles_per_col = pad_len_old // rows
+
+    # ---- permute columns (shard, bucket)-major (stable inside a group:
+    # preserves xy-key order, keeping intra-bucket locality).  For SPMD
+    # (n_shards > 1) columns are greedily balanced over shards by tile count
+    # within each bucket, and per-(shard, bucket) deficits are filled with
+    # SYNTHETIC inert columns (no particles, all-tail windows), so every
+    # shard owns a contiguous slot range with an identical bucket-shape
+    # signature — the one traced program shard_map requires.
+    if n_shards > 1:
+        shard_of_col = np.zeros(n_cols, np.int64)
+        syn = []  # (bucket, shard, n_tiles) synthetic columns
+        for bi in range(len(caps)):
+            cs_b = np.flatnonzero(cbucket == bi)
+            if not len(cs_b):
+                continue
+            order_b = cs_b[np.argsort(-tiles_per_col[cs_b], kind="stable")]
+            loads = np.zeros(n_shards, np.int64)
+            for c in order_b:
+                d = int(np.argmin(loads))
+                shard_of_col[c] = d
+                loads[d] += tiles_per_col[c]
+            peak = int(loads.max())
+            for d in range(n_shards):
+                if loads[d] < peak:
+                    syn.append((bi, d, peak - int(loads[d])))
+        n_syn = len(syn)
+        cbucket_ext = np.concatenate(
+            [cbucket, np.asarray([s[0] for s in syn], np.int64)])
+        shard_ext = np.concatenate(
+            [shard_of_col, np.asarray([s[1] for s in syn], np.int64)])
+        pad_ext = np.concatenate(
+            [pad_len_old,
+             np.asarray([s[2] * rows for s in syn], np.int64)])
+        col_perm = np.lexsort(
+            (np.arange(n_cols + n_syn), cbucket_ext, shard_ext))
+    else:
+        n_syn = 0
+        cbucket_ext = cbucket
+        pad_ext = pad_len_old
+        col_perm = np.argsort(cbucket, kind="stable")       # new -> old col
+
+    pad_len = pad_ext[col_perm]                              # new order
     col_slot_start_new = np.concatenate([[0], np.cumsum(pad_len)])
-    new_of_old = np.empty(n_cols, np.int64)
-    new_of_old[col_perm] = np.arange(n_cols)
-    col_start_of_old = col_slot_start_new[new_of_old]        # old col -> slot
+    new_of_old = np.empty(n_cols + n_syn, np.int64)
+    new_of_old[col_perm] = np.arange(n_cols + n_syn)
+    col_start_of_old = col_slot_start_new[new_of_old[:n_cols]]  # old col -> slot
     body_slots = int(col_slot_start_new[-1])
     tail = ((w_max + ALIGN - 1) // ALIGN) * ALIGN
     n_slots = body_slots + tail
@@ -247,6 +288,8 @@ def build_window_layout(
     n_tiles_col_new = (pad_len // rows).astype(np.int64)
     col_tile_start_new = np.concatenate([[0], np.cumsum(n_tiles_col_new)])
     tid_real = col_tile_start_new[new_of_old[tile_col]] + tile_rank
+    n_tiles_real_ext = np.concatenate(
+        [n_tiles_real, np.zeros(n_syn, np.int64)])
 
     # ---- window offsets in final slot space, clamped into the column
     tbucket = cbucket[tile_col]                              # tile -> bucket
@@ -266,39 +309,48 @@ def build_window_layout(
         start = (start // ALIGN) * ALIGN  # col starts are rows-aligned, safe
         offsets[:, k] = np.where(ok, start, body_slots)
 
-    # ---- buckets: REAL tiles grouped by (column) bucket; tile ids within a
-    # bucket are CONTIGUOUS in the new order.  Padding tiles (pure-padding
-    # row blocks inside columns) join their column's bucket with all-tail
-    # windows so their force rows are written (zeros) by the kernels.
-    pad_tiles_col = n_tiles_col_new - n_tiles_real[col_perm]
+    # ---- buckets: REAL tiles grouped by (shard, column-bucket); tile ids
+    # within a bucket are CONTIGUOUS in the new order.  Padding tiles
+    # (pure-padding row blocks inside real AND synthetic columns) join their
+    # column's bucket with all-tail windows so their force rows are written
+    # (zeros) by the kernels.
+    cb_new = cbucket_ext[col_perm]                           # new col -> bucket
+    if n_shards > 1:
+        sh_new = shard_ext[col_perm]                         # new col -> shard
+    else:
+        sh_new = np.zeros(n_cols, np.int64)
+    tshard = (sh_new[new_of_old[tile_col]] if n_shards > 1
+              else np.zeros(T, np.int64))
     buckets = []
-    for bi in range(len(caps)):
-        sel_cols = np.flatnonzero(cbucket[col_perm] == bi)   # new col ids
-        if not len(sel_cols):
-            continue
-        sel_tiles = np.flatnonzero(tbucket == bi)            # real tiles
-        tids = tid_real[sel_tiles]
-        offs = offsets[sel_tiles]
-        # padding tiles of this bucket's columns
-        extra = []
-        for c_new in sel_cols:
-            t0 = col_tile_start_new[c_new] + n_tiles_real[col_perm][c_new]
-            t1 = col_tile_start_new[c_new + 1]
-            if t1 > t0:
-                extra.append(np.arange(t0, t1))
-        if extra:
-            extra = np.concatenate(extra)
-            tids = np.concatenate([tids, extra])
-            offs = np.concatenate(
-                [offs, np.full((len(extra), nwin), body_slots, np.int64)])
-        o = np.argsort(tids)
-        buckets.append(WindowBucket(
-            tile_ids=tids[o].astype(np.int32),
-            offsets=offs[o].astype(np.int32),
-            windows=tuple(int(x) for x in cap_vecs[bi]),
-        ))
-        ts = buckets[-1].tile_ids
-        assert (np.diff(ts) == 1).all(), "bucket tiles not contiguous"
+    for d in range(n_shards):
+        for bi in range(len(caps)):
+            sel_cols = np.flatnonzero((cb_new == bi) & (sh_new == d))
+            if not len(sel_cols):
+                continue
+            sel_tiles = np.flatnonzero((tbucket == bi) & (tshard == d))
+            tids = tid_real[sel_tiles]
+            offs = offsets[sel_tiles]
+            # padding tiles of this group's columns
+            extra = []
+            for c_new in sel_cols:
+                t0 = (col_tile_start_new[c_new]
+                      + n_tiles_real_ext[col_perm[c_new]])
+                t1 = col_tile_start_new[c_new + 1]
+                if t1 > t0:
+                    extra.append(np.arange(t0, t1))
+            if extra:
+                extra = np.concatenate(extra)
+                tids = np.concatenate([tids, extra])
+                offs = np.concatenate(
+                    [offs, np.full((len(extra), nwin), body_slots, np.int64)])
+            o = np.argsort(tids)
+            buckets.append(WindowBucket(
+                tile_ids=tids[o].astype(np.int32),
+                offsets=offs[o].astype(np.int32),
+                windows=tuple(int(x) for x in cap_vecs[bi]),
+            ))
+            ts = buckets[-1].tile_ids
+            assert (np.diff(ts) == 1).all(), "bucket tiles not contiguous"
 
     padded_pairs = int(sum(len(b.tile_ids) * b.slab_len * rows for b in buckets))
     stats = {
@@ -312,6 +364,7 @@ def build_window_layout(
         "pairs_per_particle": padded_pairs / max(n, 1),
         "slot_inflation": n_slots / max(n, 1),
         "w_max": w_max,
+        "n_shards": int(n_shards),
     }
     return WindowLayout(
         cell=float(cell),
@@ -323,6 +376,7 @@ def build_window_layout(
         particle_of_slot=particle_of_slot,
         buckets=buckets,
         stats=stats,
+        n_shards=int(n_shards),
     )
 
 
