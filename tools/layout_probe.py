@@ -206,31 +206,40 @@ def main():
         return f, (z,)
 
     # -------- DMA a (16, W) lane-dim window at DYNAMIC offset from (16, n) HBM
-    def mk_dma_window(align, W=512, n_dma=9):
+    # Mosaic facts (measured 2026-08-18 on the v5e tunnel):
+    #  * lane-dim HBM slice offsets must be PROVABLY divisible by 128: store
+    #    offsets in units of 128 floats and multiply in-kernel (`offs*128`
+    #    compiles; raw 8/32/128-aligned ints and `offs*8` fail "Failed to
+    #    prove ... divisible by the tiling (128)").
+    #  * the scalar-prefetch operand is lane-padded to 128 in SMEM (1 MB):
+    #    a (t, 9) i32 table allocates t*128*4 B and OOMs SMEM at t=2048 —
+    #    use a FLAT (t*n_dma,) table.
+    def mk_dma_window(align, W=512, n_dma=9, sub=16):
+        assert align % 128 == 0 and W % 128 == 0
         n_src = 1 << 20
-        src = jax.random.normal(key, (16, n_src), jnp.float32)
+        src = jax.random.normal(key, (sub, n_src), jnp.float32)
         rng = np.random.default_rng(0)
         offs = jnp.asarray(
-            (rng.integers(0, (n_src - W) // align, (t, n_dma)) * align)
-            .astype(np.int32))
+            (rng.integers(0, (n_src - W) // align, t * n_dma)
+             * (align // 128)).astype(np.int32))
 
         def k(offs_ref, src_ref, o_ref, buf, sems):
             i = pl.program_id(0)
             for r in range(n_dma):
-                s = offs_ref[i, r]
+                s = offs_ref[i * n_dma + r] * 128
                 pltpu.make_async_copy(
                     src_ref.at[:, pl.ds(s, W)],
                     buf.at[:, pl.ds(r * W, W)],
                     sems.at[r],
                 ).start()
             for r in range(n_dma):
-                s = offs_ref[i, r]
                 pltpu.make_async_copy(
-                    src_ref.at[:, pl.ds(s, W)],
+                    src_ref.at[:, pl.ds(offs_ref[i * n_dma + r] * 128, W)],
                     buf.at[:, pl.ds(r * W, W)],
                     sems.at[r],
                 ).wait()
-            o_ref[...] = jnp.sum(buf[...], axis=1, keepdims=True)
+            o_ref[0] = jnp.sum(
+                buf[...].reshape(sub, n_dma * W // 128, 128), axis=1)
 
         @jax.jit
         def f(offs, src):
@@ -238,16 +247,16 @@ def main():
                 num_scalar_prefetch=1,
                 grid=(t,),
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-                out_specs=pl.BlockSpec((16, 1), lambda i, *_: (0, i),
+                out_specs=pl.BlockSpec((1, sub, 128), lambda i, *_: (i, 0, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[
-                    pltpu.VMEM((16, n_dma * W), jnp.float32),
+                    pltpu.VMEM((sub, n_dma * W), jnp.float32),
                     pltpu.SemaphoreType.DMA((n_dma,)),
                 ],
             )
             return pl.pallas_call(
                 k, grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((16, t), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((t, sub, 128), jnp.float32),
             )(offs, src)
         return f, (offs, src)
 
@@ -259,11 +268,70 @@ def main():
     run("transpose (32,3)->(3,32)", mk_transpose_out)
     run("lane->sublane (1,32)->(32,1)", mk_lane_to_sublane)
     run("lane split (3,192)->(3,6,32)", mk_lane_split)
-    run("dma win @8 (9x512)", lambda: mk_dma_window(8))
-    run("dma win @32 (9x512)", lambda: mk_dma_window(32))
-    run("dma win @128 (9x512)", lambda: mk_dma_window(128))
-    run("dma win @8 (1x512)", lambda: mk_dma_window(8, n_dma=1))
-    run("dma win @8 (18x512)", lambda: mk_dma_window(8, n_dma=18))
+    # -------- v6b gate: SUBLANE-dim windows from a slot-major (n, 128) source
+    # (slots on sublanes, fields on lanes).  Mosaic sublane tiling is 8 for
+    # f32, so offsets only need provable 8-divisibility (`offs*8`) — 8-slot
+    # window granularity instead of 128.  Cost: 128-lane rows (512 B/slot).
+    def mk_dma_swin(W=128, n_dma=9, lanes=128, dtype=jnp.float32):
+        n_src = 1 << 18
+        src = jax.random.normal(key, (n_src, lanes), jnp.float32).astype(dtype)
+        sub = 16 if dtype == jnp.bfloat16 else 8
+        rng = np.random.default_rng(0)
+        offs = jnp.asarray(
+            rng.integers(0, (n_src - W) // sub, t * n_dma).astype(np.int32))
+
+        def k(offs_ref, src_ref, o_ref, buf, sems):
+            i = pl.program_id(0)
+            for r in range(n_dma):
+                s = offs_ref[i * n_dma + r] * sub
+                pltpu.make_async_copy(
+                    src_ref.at[pl.ds(s, W), :],
+                    buf.at[pl.ds(r * W, W), :],
+                    sems.at[r],
+                ).start()
+            for r in range(n_dma):
+                pltpu.make_async_copy(
+                    src_ref.at[pl.ds(offs_ref[i * n_dma + r] * sub, W), :],
+                    buf.at[pl.ds(r * W, W), :],
+                    sems.at[r],
+                ).wait()
+            o_ref[0] = jnp.sum(
+                buf[...].reshape(n_dma * W // 8, 8, lanes).astype(jnp.float32),
+                axis=0)
+
+        @jax.jit
+        def f(offs, src):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(t,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec((1, 8, lanes), lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((n_dma * W, lanes), dtype),
+                    pltpu.SemaphoreType.DMA((n_dma,)),
+                ],
+            )
+            return pl.pallas_call(
+                k, grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((t, 8, lanes), jnp.float32),
+            )(offs, src)
+        return f, (offs, src)
+
+    # v6 gates: per-DMA issue cost and bandwidth of dynamic-offset lane
+    # windows (all 128-slot aligned — the only granularity Mosaic accepts).
+    run("dma win 9x128 sub16", lambda: mk_dma_window(128, W=128))
+    run("dma win 9x256 sub16", lambda: mk_dma_window(128, W=256))
+    run("dma win 9x512 sub16", lambda: mk_dma_window(128, W=512))
+    run("dma win 9x1024 sub16", lambda: mk_dma_window(128, W=1024))
+    run("dma win 1x512 sub16", lambda: mk_dma_window(128, n_dma=1))
+    run("dma win 18x512 sub16", lambda: mk_dma_window(128, n_dma=18))
+    run("dma win 9x512 sub8", lambda: mk_dma_window(128, sub=8))
+    run("dma win 9x512 sub24", lambda: mk_dma_window(128, sub=24))
+    run("dma swin 9x64xf32", lambda: mk_dma_swin(W=64))
+    run("dma swin 9x128xf32", lambda: mk_dma_swin(W=128))
+    run("dma swin 9x256xf32", lambda: mk_dma_swin(W=256))
+    run("dma swin 9x128xbf16", lambda: mk_dma_swin(W=128, dtype=jnp.bfloat16))
 
 
 if __name__ == "__main__":
