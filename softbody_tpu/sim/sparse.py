@@ -99,7 +99,12 @@ class SparseBlocked:
     stat_rows: jnp.ndarray | None = None
 
 
-_MAX_CHUNK = int(__import__("os").environ.get("SOFTBODY_K2_MAX_CHUNK", "768"))
+# MEASURED at 100k on v5e (2026-08-18): chunking the K2 slab is a net LOSS at
+# any size tried — each chunk's lane slices pay Mosaic relayouts (stage_probe:
+# slab=640 chunks 3 -> 1 is 2.2x; slab=1280 chunks 2 -> 1 is +8.7%); bench
+# 768 -> 4096: 1.562e7 -> 1.594e7.  The cap only guards VMEM on pathological
+# buckets.
+_MAX_CHUNK = int(__import__("os").environ.get("SOFTBODY_K2_MAX_CHUNK", "4096"))
 
 
 def _chunks_for(slab: int, max_chunk: int | None = None) -> int:
