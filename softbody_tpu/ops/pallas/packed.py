@@ -133,7 +133,7 @@ def gather_packed_sm(packed, gidx, slab, pad_width):
     return jnp.transpose(x, (0, 1, 3, 2)).reshape(t, slab, pad_width)
 
 
-def gather_packed_T(packed, gidx, slab, pad_width, take=None):
+def gather_packed_T(packed, gidx, slab, pad_width, take=None, flat=False):
     """Gather FIELD-MAJOR packed rows (:func:`pack_components`) into the
     LANE-MAJOR (t, take or pad_width, slab) slab the kernels stage.
 
@@ -146,7 +146,12 @@ def gather_packed_T(packed, gidx, slab, pad_width, take=None):
     ``take``: keep only the first ``take`` field rows (sliced BEFORE the
     transpose, so padding fields are never materialized in the lane-major
     buffer the kernel stages — e.g. positions use 3 of their 8 packed
-    floats; shipping all 8 staged 2.7x the necessary bytes)."""
+    floats; shipping all 8 staged 2.7x the necessary bytes).
+
+    ``flat``: emit (t*take, slab) 2D instead (same data order — the reshape
+    fuses into the transpose) for manual-DMA kernels, which cannot slice a
+    3D memref with internal sublane padding (Mosaic rule) and which also
+    skip the (t, 3, slab) T(4,128) sublane-padding bytes."""
     t, G = gidx.shape
     group = slab // G
     rows = jnp.take(packed, gidx.reshape(-1), axis=0)
@@ -154,7 +159,10 @@ def gather_packed_T(packed, gidx, slab, pad_width, take=None):
     if take is not None and take < pad_width:
         x = x[:, :, :take, :]
         pad_width = take
-    return jnp.transpose(x, (0, 2, 1, 3)).reshape(t, pad_width, slab)
+    out = jnp.transpose(x, (0, 2, 1, 3))
+    if flat:
+        return out.reshape(t * pad_width, slab)
+    return out.reshape(t, pad_width, slab)
 
 
 def scatter_packed_add_T(cotT, gidx, n_slots, width, pad_width, group):
@@ -204,34 +212,51 @@ def scatter_packed_add(cot, gidx, n_slots, width, pad_width, group):
 
 
 # --------------------------------------------------------------------- moments
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def moments_packed(restT_rows, static_slab, pos_slots, gidx8, h,
+def _k1_dispatch(restT_rows, static_slab, static2, pos_packed, gidx8, h,
+                 interpret, take=3):
+    """Gather the packed position source and run K1 — via the manual-DMA
+    kernel when a 2D static slab is available (TPU only), else BlockSpec."""
+    slab = static_slab.shape[2]
+    t = restT_rows.shape[0]
+    # Mosaic DMA rules: 8-sublane-aligned row blocks (t % TBM) and a
+    # 128-aligned lane extent (slab % 128; layout pad_groups=16 guarantees it)
+    if (static2 is not None and not interpret and pk._K1_MANUAL
+            and t % pk._TBM == 0 and slab % 128 == 0):
+        pos2 = gather_packed_T(pos_packed, gidx8, slab, 8, take=take, flat=True)
+        return pk._moments_fwd_manual(restT_rows, static2, pos2, h)
+    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=take)
+    return pk._moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def moments_packed(restT_rows, static_slab, static2, pos_slots, gidx8, h,
                    interpret=False):
     """Raw A/Y moment dots with packed-row slab gather: (t, rows, 18) fused
     [A | Y] in the transposed [3b+a] layout.  pos_slots: (n_slots, 3);
-    static_slab: (t, 5, slab) = [restT_3 | mass | vol].
+    static_slab: (t, 5, slab) = [restT_3 | mass | vol]; static2: its 2D
+    (t*5, slab) flattening (or None), enabling the manual-DMA K1 forward.
     Callers subtract the static-rowsum correction (pos_i x rest row sums) in
     XLA — see elastic_forces_sparse."""
-    return _moments_packed_fwd(restT_rows, static_slab,
+    return _moments_packed_fwd(restT_rows, static_slab, static2,
                                pos_slots, gidx8, h, interpret)[0]
 
 
-def _moments_packed_fwd(restT_rows, static_slab, pos_slots, gidx8, h, interpret):
-    slab = static_slab.shape[2]
+def _moments_packed_fwd(restT_rows, static_slab, static2, pos_slots, gidx8,
+                        h, interpret):
     # 8 f/slot (64-float rows): gather cost is per-ROW, so narrower rows halve
     # staged source bytes; the slab then ships LANE-MAJOR (t, 8, slab) — a
     # (slab, 8) pallas operand would be retiled with the minor dim padded to
     # 128 lanes (16x HBM bloat, staged every scan iteration)
-    pos_slabT = gather_packed_T(
-        pack_components([pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]],
-                        8, 8), gidx8, slab, 8, take=3)
-    out = pk._moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
+    pos_packed = pack_components(
+        [pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]], 8, 8)
+    out = _k1_dispatch(restT_rows, static_slab, static2, pos_packed, gidx8,
+                       h, interpret)
     return out, None
 
 
-def _moments_packed_vjp_fwd(restT_rows, static_slab, pos_slots, gidx8,
-                            h, interpret):
-    out, _ = _moments_packed_fwd(restT_rows, static_slab,
+def _moments_packed_vjp_fwd(restT_rows, static_slab, static2, pos_slots,
+                            gidx8, h, interpret):
+    out, _ = _moments_packed_fwd(restT_rows, static_slab, static2,
                                  pos_slots, gidx8, h, interpret)
     return out, (restT_rows, static_slab, gidx8, pos_slots.shape[0])
 
@@ -251,14 +276,14 @@ def _moments_packed_vjp_bwd(h, interpret, res, day):
         body, (restT_rows, static_slab, gidx8, day), t,
         jnp.zeros((n_slots, 3), day.dtype),
     )
-    return (None, None, dpos, None)
+    return (None, None, None, dpos, None)
 
 
 moments_packed.defvjp(_moments_packed_vjp_fwd, _moments_packed_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def moments_packed_src(restT_rows, static_slab, pos_packed, gidx8, h,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def moments_packed_src(restT_rows, static_slab, static2, pos_packed, gidx8, h,
                        interpret=False):
     """Like :func:`moments_packed` but takes the PRE-PACKED (n_rows, 64)
     position source (8 f/slot, build with ``pack_components``) directly.
@@ -267,20 +292,20 @@ def moments_packed_src(restT_rows, static_slab, pos_packed, gidx8, h,
     all-gather ONE shared source per step; the VJP returns the PACKED source
     cotangent, whose all-gather transpose (psum_scatter) routes each shard's
     contribution home."""
-    return _moments_src_fwd(restT_rows, static_slab, pos_packed, gidx8,
-                            h, interpret)
+    return _moments_src_fwd(restT_rows, static_slab, static2, pos_packed,
+                            gidx8, h, interpret)
 
 
-def _moments_src_fwd(restT_rows, static_slab, pos_packed, gidx8, h, interpret):
-    slab = static_slab.shape[2]
-    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=3)
-    return pk._moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret)
+def _moments_src_fwd(restT_rows, static_slab, static2, pos_packed, gidx8,
+                     h, interpret):
+    return _k1_dispatch(restT_rows, static_slab, static2, pos_packed, gidx8,
+                        h, interpret)
 
 
-def _moments_src_vjp_fwd(restT_rows, static_slab, pos_packed, gidx8,
+def _moments_src_vjp_fwd(restT_rows, static_slab, static2, pos_packed, gidx8,
                          h, interpret):
-    out = _moments_src_fwd(restT_rows, static_slab, pos_packed, gidx8,
-                           h, interpret)
+    out = _moments_src_fwd(restT_rows, static_slab, static2, pos_packed,
+                           gidx8, h, interpret)
     return out, (restT_rows, static_slab, gidx8, pos_packed.shape[0])
 
 
@@ -298,7 +323,7 @@ def _moments_src_vjp_bwd(h, interpret, res, day):
         body, (restT_rows, static_slab, gidx8, day), t,
         jnp.zeros((n_rows_src, 64), day.dtype),
     )
-    return (None, None, dsrc, None)
+    return (None, None, None, dsrc, None)
 
 
 moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)

@@ -46,6 +46,12 @@ _WARP_CHUNKS = 3
 import os as _os
 
 _TILE_BATCH = int(_os.environ.get("SOFTBODY_TILE_BATCH", "2"))
+# K1 forward staging: "1" -> manual double-buffered DMA of the 2D-flattened
+# slab operands (measured -21% vs the BlockSpec pipeline on v5e,
+# tools/stage_probe.py); "0" -> BlockSpec.  Interpret mode always uses
+# BlockSpec.
+_K1_MANUAL = _os.environ.get("SOFTBODY_K1_MANUAL", "1") == "1"
+_TBM = 8  # tiles per manual-DMA grid step (TBM * K % 8 == 0 for K in {3, 5})
 
 
 class _Sub:
@@ -72,6 +78,36 @@ class _Sub:
 
     def __setitem__(self, idx, val):
         self._ref[self._tr(idx)] = val
+
+
+class _SubFlat:
+    """Present rows [bi*K, (bi+1)*K) of a 2D (TBM*K, slab) VMEM buffer as a
+    (1, K, slab)-leading ref, so the single-tile kernel bodies (which index
+    ``ref[0, r, c]`` / ``ref[0, r0:r1, c0:c1]``) run unchanged over a
+    manually-DMA'd flattened slab block."""
+
+    def __init__(self, ref, bi, K):
+        self._ref = ref
+        self._o = bi * K
+        self._K = K
+
+    @property
+    def shape(self):
+        return (1, self._K) + tuple(self._ref.shape[1:])
+
+    def _tr_row(self, r):
+        if isinstance(r, slice):
+            r0 = 0 if r.start is None else r.start
+            r1 = self._K if r.stop is None else r.stop
+            return slice(self._o + r0, self._o + r1)
+        return self._o + r
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            assert idx[0] == 0
+            return self._ref[(self._tr_row(idx[1]),) + tuple(idx[2:])]
+        assert idx == 0
+        return self._ref[self._tr_row(slice(None))]
 
 
 def _batched(body, n_refs):
@@ -271,6 +307,90 @@ def _moments_fwd_impl(restT_rows, static_slab, pos_slabT, h, interpret):
         interpret=interpret,
     )(*args)
     return out[:t]
+
+
+def _moments_fwd_manual(restT_rows, static2, pos2, h):
+    """K1 forward with MANUAL double-buffered DMA of the slab operands.
+
+    static2: (t*5, slab) 2D-flattened [restT_3 | mass | vol] (Mosaic cannot
+    slice a (t, 5, slab) memref at all — internal 5->8 sublane padding — so
+    manual-DMA slabs are flattened and sliced in 8-row multiples; TBM=8 tiles
+    per grid step makes both 5- and 3-row operands 8-aligned).
+    pos2: (t*3, slab) lane-major dynamic positions (gather_packed_T flat=True).
+    Requires t % _TBM == 0 (layout tile_align pads buckets at build time).
+
+    Measured on v5e (tools/stage_probe.py, t=3760 slab=640 rows=32): 0.524
+    us/tile vs 0.661 BlockSpec — the automatic pipeline pays per-block latency
+    serially; issuing a whole grid step's copies together hides them behind
+    compute.  Output is bitwise-identical to the BlockSpec path.
+    """
+    t, _, rows = restT_rows.shape
+    slab = static2.shape[1]
+    assert t % _TBM == 0, f"manual K1 needs t % {_TBM} == 0, got {t}"
+
+    def kernel(rr_ref, st2_ref, ps2_ref, ay_ref, st_b0, st_b1, ps_b0, ps_b1,
+               sems):
+        st_b = (st_b0, st_b1)
+        ps_b = (ps_b0, ps_b1)
+        i = pl.program_id(0)
+        nt = pl.num_programs(0)
+
+        def copies(blk, par):
+            return [
+                pltpu.make_async_copy(
+                    st2_ref.at[pl.ds(blk * _TBM * 5, _TBM * 5)],
+                    st_b[par], sems.at[par, 0]),
+                pltpu.make_async_copy(
+                    ps2_ref.at[pl.ds(blk * _TBM * 3, _TBM * 3)],
+                    ps_b[par], sems.at[par, 1]),
+            ]
+
+        @pl.when(i == 0)
+        def _():
+            for c in copies(0, 0):
+                c.start()
+
+        @pl.when(i + 1 < nt)
+        def _():
+            for par in (0, 1):
+                @pl.when((i + 1) % 2 == par)
+                def _(par=par):
+                    for c in copies(i + 1, par):
+                        c.start()
+
+        for par in (0, 1):
+            @pl.when(i % 2 == par)
+            def _(par=par):
+                for c in copies(i, par):
+                    c.wait()
+                for bi in range(_TBM):
+                    _moments_kernel(
+                        _Sub(rr_ref, bi), _SubFlat(st_b[par], bi, 5),
+                        _SubFlat(ps_b[par], bi, 3), _Sub(ay_ref, bi), h=h)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(t // _TBM,),
+        in_specs=[
+            pl.BlockSpec((_TBM, 3, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_TBM, rows, 18), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_TBM * 5, slab), static2.dtype),
+            pltpu.VMEM((_TBM * 5, slab), static2.dtype),
+            pltpu.VMEM((_TBM * 3, slab), pos2.dtype),
+            pltpu.VMEM((_TBM * 3, slab), pos2.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, rows, 18), restT_rows.dtype),
+    )(restT_rows, static2, pos2)
 
 
 def _moments_vjp_fwd(restT_rows, static_slab, pos_slabT, h, interpret):

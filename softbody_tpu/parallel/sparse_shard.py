@@ -68,6 +68,8 @@ def stack_shard_buckets(sb: SparseBlocked):
             "gidx8": jnp.stack([b.gidx8 for b in per]),
             "restT_rows": jnp.stack([b.restT_rows for b in per]),
             "static_slab": jnp.stack([b.static_slab for b in per]),
+            "static2": (jnp.stack([b.static2 for b in per])
+                        if per[0].static2 is not None else None),
         })
         meta.append((start, b0.rows, b0.slab_len))
         start += b0.n_tiles
@@ -85,6 +87,8 @@ def _local_buckets(stacked_local, meta):
             tile_start=tile_start,
             rows=rows,
             slab_len=slab_len,
+            static2=(leaves["static2"][0]
+                     if leaves.get("static2") is not None else None),
         ))
     return out
 
@@ -110,7 +114,7 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
 
     pos_packed = gathered_source([pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], 8)
     ay = jnp.concatenate([
-        moments_packed_src(b.restT_rows, b.static_slab,
+        moments_packed_src(b.restT_rows, b.static_slab, b.static2,
                            pos_packed, b.gidx8, cfg.h, interpret)
         for b in lbuckets
     ], axis=0).reshape(m_loc, 18)

@@ -152,7 +152,7 @@ def build_blocked_scene(
     from ..ops.pallas.pair_kernels import _interpret_default
 
     ay1 = moments_packed(
-        blocked.restT_rows, blocked.static_slab,
+        blocked.restT_rows, blocked.static_slab, None,
         jnp.ones((ns, 3), dtype), blocked.gidx8, cfg.h,
         _interpret_default(),
     ).reshape(m_tiles, 18)
@@ -278,7 +278,7 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
 
     def moments_all(p_slots):
         return moments_packed(
-            blk.restT_rows, blk.static_slab,
+            blk.restT_rows, blk.static_slab, None,
             p_slots, blk.gidx8, cfg.h, interpret,
         ).reshape(m, 18)
 

@@ -39,7 +39,7 @@ from .scene import lame_parameters
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "gidx8", "restT_rows", "static_slab",
+        "gidx8", "restT_rows", "static_slab", "static2",
     ],
     meta_fields=["tile_start", "rows", "slab_len"],
 )
@@ -63,6 +63,10 @@ class DevBucket:
     tile_start: int
     rows: int
     slab_len: int
+    # 2D (t_b*5, slab) flattening of static_slab for the manual-DMA K1
+    # forward (Mosaic cannot slice the 3D form — internal sublane padding);
+    # None when SOFTBODY_K1_MANUAL=0 (saves the duplicate HBM)
+    static2: jnp.ndarray | None = None
 
     @property
     def n_tiles(self) -> int:
@@ -178,6 +182,8 @@ def build_sparse_scene(
             mass[sl][:, None, :],
             vol_np[sl][:, None, :],
         ], axis=1)
+        from ..ops.pallas import pair_kernels as _pk
+
         return DevBucket(
             gidx8=jnp.asarray(b.group_ids, jnp.int32),
             restT_rows=jnp.asarray(np.swapaxes(rr, 1, 2), dtype),
@@ -185,6 +191,8 @@ def build_sparse_scene(
             tile_start=int(tid[0]),
             rows=rows,
             slab_len=int(sl.shape[1]),
+            static2=(jnp.asarray(static.reshape(-1, static.shape[2]), dtype)
+                     if _pk._K1_MANUAL else None),
         )
 
     # density rho_i = sum_j m_j w_ij and rest correction Y(rest): vectorized
@@ -252,7 +260,7 @@ def _static_rowsums(buckets, m, n_slots, cfg, dtype):
     interpret = _interpret_default()
     ones = jnp.ones((n_slots, 3), dtype)
     parts = [moments_packed(
-        b.restT_rows, b.static_slab,
+        b.restT_rows, b.static_slab, b.static2,
         ones, b.gidx8, cfg.h, interpret) for b in buckets]
     return jnp.concatenate(parts, axis=0).reshape(m, 18)[:, 0::3]
 
@@ -277,7 +285,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
 
     def moments_all(p_slots):
         parts = [moments_packed(
-            b.restT_rows, b.static_slab,
+            b.restT_rows, b.static_slab, b.static2,
             p_slots, b.gidx8, cfg.h, interpret) for b in sb.buckets]
         # bucket-major tile order: concat IS tile order
         return jnp.concatenate(parts, axis=0).reshape(m, 18)

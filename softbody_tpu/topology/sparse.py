@@ -112,16 +112,20 @@ def build_sparse_layout(
     support_radius: float,
     rows: int = 32,
     max_buckets: int = 8,
-    pad_groups: int = 8,
+    pad_groups: int = 16,
     cell_scale: float = 1.0,
     n_shards: int = 1,
     group: int = GROUP,
+    tile_align: int = 8,
 ) -> SparseLayout:
     """Build the sparse candidate-group layout from rest positions.
 
     pad_groups: per-tile group counts are padded up to a multiple of this
-    (8 groups = 64 slots) before bucketing, bounding the number of distinct
-    slab lengths the DP sees.
+    before bucketing, bounding the number of distinct slab lengths the DP
+    sees.  Default 16 groups = 128 slots, so every bucket slab length is a
+    128-lane multiple — Mosaic cannot DMA-slice a memref whose lane extent
+    is not 128-aligned (the manual-DMA K1 path needs this; measured pair
+    inflation vs pad_groups=8 is a few percent).
 
     n_shards > 1 prepares the layout for SPMD execution over an n_shards
     device mesh (parallel/sparse_shard.py): each cap's tile list is padded
@@ -131,6 +135,11 @@ def build_sparse_layout(
     (shard, cap) — so every shard owns a contiguous, identically-shaped
     slice of tile space and of every bucket.  Group ids stay GLOBAL (the
     packed gather sources are all-gathered across shards at runtime).
+
+    tile_align: every bucket's tile count is padded (with synthetic inert
+    tiles — rows of empty slots, empty candidate lists) to a multiple of
+    this, so manual-DMA kernels that slice 2D (t*K, slab) slabs in
+    8-sublane-aligned blocks (Mosaic rule) never see a ragged tail.
     """
     gsz = int(group)
     del group  # the name is reused below for the candidate-group-id array
@@ -302,9 +311,13 @@ def build_sparse_layout(
     ids_per_cap = [ids_per_cap[k] for k in keep]
     empty_gid_old = empty_gid
     n_tiles_new = n_tiles
-    if n_shards > 1:
+    # per-bucket tile count must be a multiple of tile_align; with n_shards
+    # each SHARD's chunk of a cap is one bucket, so the cap's list needs a
+    # multiple of n_shards * tile_align
+    mult = max(int(n_shards), 1) * max(int(tile_align), 1)
+    if mult > 1:
         for k, ids in enumerate(ids_per_cap):
-            pad = (-len(ids)) % n_shards
+            pad = (-len(ids)) % mult
             if pad:
                 ids_per_cap[k] = np.concatenate(
                     [ids, np.arange(n_tiles_new, n_tiles_new + pad)])

@@ -106,7 +106,7 @@ def main():
 
     def moments_all(p):
         parts = [moments_packed(
-            b.restT_rows, b.static_slab,
+            b.restT_rows, b.static_slab, b.static2,
             p, b.gidx8, cfg.h, False) for b in sb.buckets]
         return jnp.concatenate(parts, axis=0).reshape(m, 18)
 
