@@ -200,7 +200,8 @@ def build_sparse_scene(
     # work — the candidate lists would cost ~9x more host flops.
     from ..topology.neighbors import rest_density_and_corr
 
-    rho_p, vol_p, corr_p = rest_density_and_corr(rest, np.full(n, cfg.mass), cfg)
+    rho_p, vol_p, corr_p, scx_p, svnw_p = rest_density_and_corr(
+        rest, np.full(n, cfg.mass), cfg, rowsums=True)
     rho = np.zeros(ns)
     rho[sop] = rho_p
     volume = np.zeros(ns)
@@ -212,7 +213,13 @@ def build_sparse_scene(
     )
 
     buckets = tuple(make_bucket(b, vol_np=volume) for b in layout.buckets)
-    rs6 = _static_rowsums(buckets, m, ns, cfg, dtype)
+    # static moment row sums on the HOST (f64 over true pairs) — replaces a
+    # build-time ones-RHS Pallas moments call whose 8 bucket-shaped kernel
+    # compiles cost ~77 s over the remote-compile tunnel
+    rs6_np = np.zeros((m, 6))
+    rs6_np[sop, 0:3] = scx_p
+    rs6_np[sop, 3:6] = svnw_p
+    rs6 = jnp.asarray(rs6_np, dtype)
     stat_rows = jnp.concatenate([
         rs6,
         jnp.asarray(np.stack([mu[:m], lam[:m], volume[:m]], axis=1), dtype),

@@ -164,11 +164,19 @@ def neighbor_csr(rest: np.ndarray, radius: float):
 
 
 def rest_density_and_corr(rest: np.ndarray, mass: np.ndarray, cfg: SimConfig,
-                          chunk: int = 1_000_000):
+                          chunk: int = 1_000_000, rowsums: bool = False):
     """rho_i = sum_j m_j W_ij, V_i = m_i/rho_i, and the nabla_u rest correction
     Y_i = sum_j V_j (X_j - X_i) (x) grad_W(X_ij) over the flat CSR pair list —
     O(true pairs), no per-particle Python loop (used by the sparse scene
     builder; reference computes these per-thread at sim.py:154-183).
+
+    With ``rowsums=True`` also returns the two static moment row-sum vectors
+    the sparse pair kernels' XLA correction consumes (sim/sparse.py rs6):
+      scx_i  = sum_j w_ij m_j (X_j - X_i)        (A-moment row sum)
+      svnw_i = sum_j V_j grad_W(X_i - X_j)       (Y-moment row sum)
+    Computing them here (f64, true pairs) replaces a build-time ones-RHS
+    Pallas moments call — 8 bucket-shaped kernel compiles (~77 s over the
+    remote-compile tunnel) for what is ~4 numpy passes.
 
     Chunked over pairs with preallocated scratch reused via ``out=``: on this
     build VM first-touch of fresh anon pages is ~13MB/s, so per-call large
@@ -187,6 +195,8 @@ def rest_density_and_corr(rest: np.ndarray, mass: np.ndarray, cfg: SimConfig,
 
     rho = np.zeros(n)
     corr = np.zeros((n, 3, 3))
+    scx = np.zeros((n, 3)) if rowsums else None
+    svnw = np.zeros((n, 3)) if rowsums else None
 
     cap = int(min(chunk, max(p_total, 1)))
     xi = np.empty((cap, 3))
@@ -238,6 +248,12 @@ def rest_density_and_corr(rest: np.ndarray, mass: np.ndarray, cfg: SimConfig,
         np.take(mass, idx[se], out=f2[:m_])
         np.multiply(f1[:m_], f2[:m_], out=f1[:m_])
         rho += np.bincount(src_all[se], weights=f1[:m_], minlength=n)
+        if rowsums:
+            # scx_b = sum_j (w m_j) (X_j - X_i)_b; xi holds X_i - X_j
+            for b in range(3):
+                np.multiply(f1[:m_], xi[:m_, b], out=f2[:m_])
+                scx[:, b] -= np.bincount(src_all[se], weights=f2[:m_],
+                                         minlength=n)
 
     if cfg.self_density:
         rho = rho + mass * c0
@@ -250,6 +266,12 @@ def rest_density_and_corr(rest: np.ndarray, mass: np.ndarray, cfg: SimConfig,
         fill_gfac(m_, f1)
         np.take(volume, idx[se], out=f2[:m_])
         np.multiply(f1[:m_], f2[:m_], out=f1[:m_])   # V_j * gfac
+        if rowsums:
+            # svnw_b = sum_j V_j gfac (X_i - X_j)_b
+            for b in range(3):
+                np.multiply(f1[:m_], xi[:m_, b], out=f2[:m_])
+                svnw[:, b] += np.bincount(src_all[se], weights=f2[:m_],
+                                          minlength=n)
         for a in range(3):
             # weight_a = -V_j gfac (X_i - X_j)_a = V_j gfac (X_j - X_i)_a
             np.multiply(f1[:m_], xi[:m_, a], out=q[:m_])
@@ -259,6 +281,8 @@ def rest_density_and_corr(rest: np.ndarray, mass: np.ndarray, cfg: SimConfig,
                 corr[:, a, b] += np.bincount(src_all[se], weights=tq[:m_],
                                              minlength=n)
 
+    if rowsums:
+        return rho, volume, corr, scx, svnw
     return rho, volume, corr
 
 

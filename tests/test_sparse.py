@@ -156,3 +156,20 @@ def test_bf16_pair_dtype_drift():
     disp = np.abs(np.asarray(fin32.position) - np.asarray(scene.rest_position))
     err = np.abs(np.asarray(fin16.position) - np.asarray(fin32.position))
     assert err.max() <= max(1e-2 * disp.max(), 1e-7), (err.max(), disp.max())
+
+
+def test_host_rowsums_match_kernel(body):
+    """The host-side f64 rs6 (rest_density_and_corr rowsums=True) must match
+    the device ones-RHS moments computation it replaced (_static_rowsums)."""
+    from softbody_tpu.sim.sparse import _static_rowsums
+
+    pts, out_num, h = body
+    cfg = warp_parity().replace(h=h, dtype="float64", dt=1e-6, backend="pallas")
+    sc, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+    sb = sc.blocked
+    dev = np.asarray(_static_rowsums(sb.buckets, sb.n_tiles * sb.rows,
+                                     sb.n_slots, cfg, cfg.dtype))
+    host = np.asarray(sb.rs6)
+    scale = np.abs(dev).max()
+    assert np.abs(dev - host).max() < 1e-9 * max(scale, 1.0), (
+        np.abs(dev - host).max(), scale)
