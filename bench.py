@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--neighbors", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
-    ap.add_argument("--layout", choices=["sparse", "varcol", "cells", "windows"],
+    ap.add_argument("--layout", choices=["sparse", "varcol", "cells"],
                     default="sparse")
     ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--max-buckets", type=int, default=8)
@@ -79,18 +79,7 @@ def main():
         pair_dtype=args.pair_dtype,
     )
     t0 = time.perf_counter()
-    if args.backend == "pallas" and args.layout == "windows":
-        from softbody_tpu.sim.windows import build_window_scene
-
-        scene, sop = build_window_scene(pts, cfg, out_num=out_num,
-                                        rows=args.rows,
-                                        max_buckets=args.max_buckets)
-        wb = scene.blocked
-        log(f"scene: N={n} slots={wb.n_slots} tiles={wb.n_tiles} rows={wb.rows} "
-            f"buckets={[(b.n_tiles, sum(b.windows)) for b in wb.buckets]} "
-            f"build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}")
-        n_state = wb.n_slots
-    elif args.backend == "pallas" and args.layout == "sparse":
+    if args.backend == "pallas" and args.layout == "sparse":
         from softbody_tpu.sim.sparse import build_sparse_scene
 
         scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows,

@@ -26,9 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init", "-i", action="store_true", default=False)
     # extensions
     p.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="gather")
-    p.add_argument("--layout", choices=["sparse", "windows"], default="sparse",
-                   help="pallas-backend slot layout: gathered candidate groups "
-                        "or gather-free DMA column windows")
+    p.add_argument("--layout", choices=["sparse"], default="sparse",
+                   help="pallas-backend slot layout (sparse candidate groups)")
     p.add_argument("--asset-dir", type=str, default=None,
                    help="dir with {name}/point_cloud_downsampled.ply etc (sim.py:41-45)")
     p.add_argument("--model-dir", type=str, default=None,
@@ -113,13 +112,7 @@ def main(argv=None):
         # short episodes (tests/smoke runs): sample every frame
         cfg = cfg.replace(target_frames=cfg.frames)
 
-    if args.backend == "pallas" and args.layout == "windows":
-        # gather-free column-window layout (topology/windows.py)
-        from .sim.windows import build_window_scene
-
-        cfg = cfg.replace(backend="pallas")
-        scene, sop = build_window_scene(pts, cfg, out_num=out_num)
-    elif args.backend == "pallas":
+    if args.backend == "pallas":
         # flagship path: sparse candidate-group layout (topology/sparse.py)
         from .sim.sparse import build_sparse_scene
 
@@ -145,6 +138,7 @@ def main(argv=None):
         return xs
 
     target_dir = out / "target" / args.name
+    x_render = None   # optimized x (state space) for --render, set by opt paths
     if args.set_target:
         driver.generate_targets(to_state(x0), scene, cfg, target_dir,
                                 particle_index=sop)
@@ -194,8 +188,7 @@ def main(argv=None):
         from .sim.rollout import rollout
         import jax.numpy as jnp
 
-        x_state = (locals().get("x_render")
-                   if "x_render" in locals() else to_state(x0))
+        x_state = x_render
         if x_state is None or args.set_target or args.init:
             x_state = to_state(x0)
         every = 50 if cfg.frames % 50 == 0 else 1

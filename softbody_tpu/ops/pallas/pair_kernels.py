@@ -47,10 +47,14 @@ import os as _os
 
 _TILE_BATCH = int(_os.environ.get("SOFTBODY_TILE_BATCH", "2"))
 # K1 forward staging: "1" -> manual double-buffered DMA of the 2D-flattened
-# slab operands (measured -21% vs the BlockSpec pipeline on v5e,
-# tools/stage_probe.py); "0" -> BlockSpec.  Interpret mode always uses
-# BlockSpec.
-_K1_MANUAL = _os.environ.get("SOFTBODY_K1_MANUAL", "1") == "1"
+# slab operands; "0" -> BlockSpec.  Interpret mode always uses BlockSpec.
+# MEASURED (round 3, full-step bench at 100k): the isolated-probe win of the
+# manual path (-21%/tile, tools/stage_probe.py) INVERTS at step level — its
+# memory_space=ANY static2 operand makes XLA's memory-space assignment stream
+# the whole duplicated (t*5, slab) array into VMEM every scan iteration
+# (48 MB/step of S(1) slice-copies in the trace).  BlockSpec: 1.575e7 vs
+# manual 1.388e7 particle-steps/s.  Default OFF.
+_K1_MANUAL = _os.environ.get("SOFTBODY_K1_MANUAL", "0") == "1"
 _TBM = 8  # tiles per manual-DMA grid step (TBM * K % 8 == 0 for K in {3, 5})
 
 

@@ -265,11 +265,6 @@ def elastic_forces_pallas(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     if isinstance(scene.blocked, SparseBlocked):
         return elastic_forces_sparse(pos_slots, ratio_slots, mats, scene, cfg,
                                      interpret=interpret)
-    from .windows import WinBlocked, elastic_forces_windows
-
-    if isinstance(scene.blocked, WinBlocked):
-        return elastic_forces_windows(pos_slots, ratio_slots, mats, scene, cfg,
-                                      interpret=interpret)
     interpret = _interpret_default() if interpret is None else interpret
     blk: Blocked = scene.blocked
     t, rows = blk.n_tiles, blk.rows

@@ -66,26 +66,3 @@ def test_optimize_renders_optimized_x(tmp_path, monkeypatch):
 
 def _n_particles(tmp_path):
     return np.load(tmp_path / "target" / "demo" / "position_1.npy").shape[0]
-
-
-def test_windows_layout_cli_target(tmp_path):
-    """--layout windows drives the window-DMA backend through the CLI
-    target-generation flow (interpret kernels on CPU)."""
-    main(["-n", "wdemo", "--procedural", "300", "--frames", "6",
-          "--backend", "pallas", "--layout", "windows",
-          "--out-dir", str(tmp_path), "--set_target"])
-    assert (tmp_path / "target" / "wdemo" / "position_1.npy").exists()
-
-
-@pytest.mark.slow
-def test_windows_layout_cli_optimize(tmp_path):
-    """L-BFGS through the window backend's custom VJPs (slow: interpret-mode
-    fwd+bwd compiles)."""
-    main(["-n", "wdemo", "--procedural", "200", "--frames", "4",
-          "--backend", "pallas", "--layout", "windows",
-          "--out-dir", str(tmp_path), "--set_target"])
-    main(["-n", "wdemo", "--procedural", "200", "--frames", "4",
-          "--backend", "pallas", "--layout", "windows", "--maxiter", "1",
-          "--out-dir", str(tmp_path)])
-    x = np.load(tmp_path / "opt" / "wdemo" / "x.npy")
-    assert np.isfinite(x).all()

@@ -20,9 +20,4 @@ run python bench.py --steps 500 --repeats 2
 run python bench.py --steps 500 --repeats 2 --pair-dtype bfloat16
 run python bench.py --steps 300 --repeats 2 --grad
 
-# 2. window backend: forward + grad, bucket sweep
-run python bench.py --steps 500 --repeats 2 --layout windows
-run python bench.py --steps 500 --repeats 2 --layout windows --max-buckets 16
-run python bench.py --steps 300 --repeats 2 --layout windows --grad
-
 echo "sweep done -> $OUT"
