@@ -329,6 +329,132 @@ def _moments_src_vjp_bwd(h, interpret, res, day):
 moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)
 
 
+# ---------------------------------------------- moments (K1, v4 lane-major)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def moments_packed_v4(restT_rows, static_slab, pos_packed, gidx8, h,
+                      interpret=False):
+    """Raw A/Y moment dots, LANE-MAJOR output ayT (18, t*rows): row 3b+a is
+    the [A | Y] component in the transposed layout (ayT[3b+a] == the old
+    ay[:, 3b+a] column).  pos_packed: the (n_rows, 64) packed position source
+    (pack_components, 8 f/slot).  Callers subtract the static-rowsum
+    correction in XLA (see elastic_forces_sparse)."""
+    return _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h,
+                           interpret)
+
+
+def _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, _, rows = restT_rows.shape
+    slab = static_slab.shape[2]
+    tb = _v4_tb(rows)
+    pos_slabT = gather_packed_T(pos_packed, gidx8, slab, 8, take=3)
+    extra = (-t) % tb
+    t_pad = t + extra
+    if extra:
+        pad = lambda a: jnp.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1))
+        restT_p, static_p, pos_p = (
+            pad(restT_rows), pad(static_slab), pad(pos_slabT))
+    else:
+        restT_p, static_p, pos_p = restT_rows, static_slab, pos_slabT
+    kernel = functools.partial(pk._moments_kernel_v4, h=h, tb=tb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 3, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 5, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 3, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((18, tb * rows), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((18, t_pad * rows), restT_rows.dtype),
+        interpret=pk._interpret_default() if interpret is None else interpret,
+    )(restT_p, static_p, pos_p)
+    return out[:, :t * rows]
+
+
+def _moments_v4_vjp_fwd(restT_rows, static_slab, pos_packed, gidx8, h,
+                        interpret):
+    out = _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h,
+                          interpret)
+    return out, (restT_rows, static_slab, gidx8, pos_packed.shape[0])
+
+
+def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
+    """dayT (18, chunk*rows) -> dpsT (chunk, 3, slab) via the v4 bwd kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, _, rows = restT_rows.shape
+    slab = static_slab.shape[2]
+    tb = _v4_tb(rows)
+    extra = (-t) % tb
+    t_pad = t + extra
+    if extra:
+        pad = lambda a: jnp.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1))
+        restT_p, static_p = pad(restT_rows), pad(static_slab)
+        dayT_p = jnp.pad(dayT, ((0, 0), (0, extra * rows)))
+    else:
+        restT_p, static_p, dayT_p = restT_rows, static_slab, dayT
+    kernel = functools.partial(pk._moments_bwd_kernel_v4, h=h, tb=tb)
+    dps = pl.pallas_call(
+        kernel,
+        grid=(t_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 3, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 5, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, 3, slab), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 3, slab), dayT.dtype),
+        scratch_shapes=[pltpu.VMEM((3, 6 * rows), dayT.dtype)],
+        interpret=pk._interpret_default() if interpret is None else interpret,
+    )(restT_p, static_p, dayT_p)
+    return dps[:t]
+
+
+def _moments_v4_vjp_bwd(h, interpret, res, dayT):
+    restT_rows, static_slab, gidx8, n_rows_src = res
+    t, _, rows = restT_rows.shape
+
+    # chunk over tiles: slice dayT's lane axis per chunk (backward-only
+    # relayout of the compact (18, m) array)
+    ch = min(_BWD_TILE_CHUNK, t)
+    n_chunks = -(-t // ch)
+    t_pad = n_chunks * ch
+
+    def prep(a):
+        if t_pad > t:
+            a = jnp.pad(a, [(0, t_pad - t)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_chunks, ch) + a.shape[1:])
+
+    day_st = jnp.transpose(
+        (jnp.pad(dayT, ((0, 0), (0, (t_pad - t) * rows)))
+         if t_pad > t else dayT).reshape(18, n_chunks, ch * rows), (1, 0, 2))
+    stacked = (prep(restT_rows), prep(static_slab), prep(gidx8), day_st)
+
+    def scan_body(acc, args):
+        rr, st, gi, day_c = args
+        dpsT_c = _moments_v4_bwd_impl(rr, st, day_c, h, interpret)
+        return acc + scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8), None
+
+    acc, _ = jax.lax.scan(
+        scan_body, jnp.zeros((n_rows_src, 64), dayT.dtype), stacked)
+    return (None, None, acc, None)
+
+
+moments_packed_v4.defvjp(_moments_v4_vjp_fwd, _moments_v4_vjp_bwd)
+
+
 # ------------------------------------------------------- fused K1 + mid-section
 def _mid_xla(ay, dyn, stat, corotated, sweeps):
     """XLA reference of the fused kernel's epilogue: (t, rows, {18, 4, 18}) ->
@@ -587,3 +713,118 @@ def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
 
 
 forces_warp_packed.defvjp(_forces_warp_packed_vjp_fwd, _forces_warp_packed_vjp_bwd)
+
+
+# ----------------------------------------------- forces (warp, v4 lane-major)
+def _v4_tb(rows: int) -> int:
+    """v4 row-side blocks must span tb*rows = 128 lanes."""
+    assert 128 % rows == 0, f"v4 needs rows dividing 128, got {rows}"
+    return 128 // rows
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def forces_warp_packed_v4(restT_rows, static_slab, f9T, sr_packed, gidx8,
+                          h, interpret=False, chunks=None):
+    """Warp-mode termj with LANE-MAJOR row operands (pair_kernels v4).
+
+    f9T: (9, t*rows) lane-major deformation gradient (row 3c+d = F_i[c, d]).
+    Returns fT (3, t*rows) — the 0.5*V_i scale and the term_i
+    (M_i sum_j V_j grad W, a REST-STATIC row sum) are applied by the caller
+    in XLA.
+    """
+    return _forces_warp_v4_fwd(restT_rows, static_slab, f9T, sr_packed,
+                               gidx8, h, interpret, chunks)
+
+
+def _forces_warp_v4_fwd(restT_rows, static_slab, f9T, sr_packed, gidx8,
+                        h, interpret, chunks=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, _, rows = restT_rows.shape
+    slab = static_slab.shape[2]
+    tb = _v4_tb(rows)
+    srT_slab = gather_packed_T(sr_packed, gidx8, slab, 16)
+    # pad the tile count to a tb multiple (zero rest coords -> inert tiles)
+    extra = (-t) % tb
+    t_pad = t + extra
+    if extra:
+        pad = lambda a: jnp.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1))
+        restT_p, static_p, srT_p = (
+            pad(restT_rows), pad(static_slab), pad(srT_slab))
+        f9T_p = jnp.pad(f9T, ((0, 0), (0, extra * rows)))
+    else:
+        restT_p, static_p, srT_p, f9T_p = (
+            restT_rows, static_slab, srT_slab, f9T)
+    kernel = functools.partial(
+        pk._forces_warp_kernel_v4, h=h,
+        chunks=chunks or pk._WARP_CHUNKS, tb=tb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_pad // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 3, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 5, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 16, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tb * rows), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, t_pad * rows), f9T.dtype),
+        interpret=pk._interpret_default() if interpret is None else interpret,
+    )(restT_p, static_p, f9T_p, srT_p)
+    return out[:, :t * rows]
+
+
+def _forces_warp_v4_vjp_fwd(restT_rows, static_slab, f9T, sr_packed, gidx8,
+                            h, interpret, chunks=None):
+    out = _forces_warp_v4_fwd(restT_rows, static_slab, f9T, sr_packed,
+                              gidx8, h, interpret, chunks)
+    return out, (restT_rows, static_slab, f9T, sr_packed, gidx8)
+
+
+def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
+    """v4 backward: the v4 forward is the SAME bilinear form in (f9, srT) as
+    the v2 termj path, so the v2 backward kernel computes its cotangents
+    verbatim.  The doctored fm operand [F_9 | 0_9 | vol=2] makes the v2
+    kernel's 0.5*vol_rows prescale a no-op (v4 applies 0.5*V_i in XLA), and
+    its dM columns (the term_i path, now external) are discarded.  Row-side
+    relayouts (3, m) <-> (t, rows, 3) happen here in XLA — backward-only."""
+    restT_rows, static_slab, f9T, sr_packed, gidx8 = res
+    t, _, rows = restT_rows.shape
+    slab = static_slab.shape[2]
+    m = t * rows
+    n_rows_src = sr_packed.shape[0]
+    dtype = dfT.dtype
+
+    df_rows = jnp.transpose(dfT.reshape(3, t, rows), (1, 2, 0))
+    f9_rows = jnp.transpose(f9T.reshape(9, t, rows), (1, 2, 0))
+    fm19 = jnp.concatenate([
+        f9_rows, jnp.zeros((t, rows, 9), dtype),
+        jnp.full((t, rows, 1), 2.0, dtype),
+    ], axis=2)
+
+    def body(args):
+        rr, st, fm_c, gi, df_c = args
+        srT = gather_packed_T(sr_packed, gi, slab, 16)
+        dfm_c, dsT6_c, drT_c = pk._forces_warp_bwd_impl(
+            rr, st, fm_c, srT, df_c, h, interpret,
+            chunks or pk._WARP_CHUNKS,
+        )
+        dsrT_c = jnp.concatenate([dsT6_c, drT_c], axis=1)
+        return (scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8),
+                dfm_c[:, :, 0:9])
+
+    dsr_packed, df9 = _scan_chunks(
+        body, (restT_rows, static_slab, fm19, gidx8, df_rows), t,
+        jnp.zeros((n_rows_src, 128), dtype),
+    )
+    df9T = jnp.transpose(df9, (2, 0, 1)).reshape(9, m)
+    return (None, None, df9T, dsr_packed.astype(sr_packed.dtype), None)
+
+
+forces_warp_packed_v4.defvjp(_forces_warp_v4_vjp_fwd, _forces_warp_v4_vjp_bwd)

@@ -429,6 +429,64 @@ def _moments_vjp_bwd(h, interpret, res, day):
 moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 
+# ------------------------------------------------- moments (K1, v4 lane-major)
+def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
+                       ayT_ref, *, h, tb):
+    """K1 with a LANE-MAJOR (18, tb*rows) output.
+
+    Same raw moment dots as :func:`_moments_kernel`, but the MXU contraction
+    runs transposed — dotsT = pos_slabT @ lhs^T gives (3, 6*rows) — and the
+    output row 3*blk + a is the (1, rows) lane slice dotsT[a, blk*rows:...].
+    Kills the (rows, 18) output's 7.1x T(8,128) lane padding (HBM write +
+    per-tile stage + the mid-section's strided column reads all shrink to the
+    compact (18, m) form, whose component extraction is CONTIGUOUS rows).
+    """
+    rows = restT_rows_ref.shape[2]
+    for i in range(tb):
+        rr = restT_rows_ref[i]          # (3, rows)
+        st = static_slab_ref[i]         # (5, slab)
+        rs = st[0:3]
+        dx, w, gfac = _pair_coeffs(rr, rs, h)
+        cA = w * st[3:4]
+        gv = gfac * st[4:5]
+        pos_slabT = pos_slabT_ref[i]    # (pw, slab)
+        lhs = jnp.concatenate(
+            [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
+            axis=0)
+        dotsT = _dot_t(pos_slabT[:3], lhs)              # (3, 6*rows)
+        # direct ref stores: tpu.concatenate rejects pieces whose lane
+        # offsets differ ("offset mismatch on non-concat dimension"); masked
+        # stores at static sub-tile offsets relayout fine (cf. the v2 bwd
+        # kernel's drT_ref[0, 3c:3c+3, ...] stores)
+        for blk in range(6):
+            ayT_ref[3 * blk:3 * blk + 3, i * rows:(i + 1) * rows] = (
+                dotsT[:, blk * rows:(blk + 1) * rows])
+
+
+def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
+                           dpsT_ref, ct_ref, *, h, tb):
+    """Backward of :func:`_moments_kernel_v4`: dayT (18, tb*rows) lane-major ->
+    dpsT (tb, 3, slab).  CT[a, blk*rows + r] = dayT[3*blk + a, r], then
+    d pos_slabT = CT @ lhs (one MXU dot).  CT is assembled through a VMEM
+    scratch: value-level concat of offset-mismatched pieces is unimplemented
+    in Mosaic, masked sub-tile ref stores are not."""
+    rows = restT_rows_ref.shape[2]
+    for i in range(tb):
+        rr = restT_rows_ref[i]
+        st = static_slab_ref[i]
+        rs = st[0:3]
+        dx, w, gfac = _pair_coeffs(rr, rs, h)
+        cA = w * st[3:4]
+        gv = gfac * st[4:5]
+        lhs = jnp.concatenate(
+            [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
+            axis=0)
+        for blk in range(6):
+            ct_ref[:, blk * rows:(blk + 1) * rows] = (
+                dayT_ref[3 * blk:3 * blk + 3, i * rows:(i + 1) * rows])
+        dpsT_ref[i] = _dot(ct_ref[...], lhs)            # (3, slab)
+
+
 # ============================================================ fused K1 + mid-section
 def _moments_mid_kernel(restT_rows_ref, static_slab_ref, pos_slabT_ref,
                         stat_ref, dyn_ref,
@@ -704,6 +762,63 @@ def _forces_warp_kernel_v2(restT_rows_ref, static_slab_ref,
          for a in range(3)], axis=1,
     )
     f_ref[0] = 0.5 * vol_rows * (termj + term_i)
+
+
+def _forces_warp_kernel_v4(restT_rows_ref, static_slab_ref,
+                           f9T_ref, srT_ref, fT_ref, *, h, chunks, tb):
+    """Warp pairing, LANE-MAJOR row operands (round-3 redesign).
+
+    Differences vs :func:`_forces_warp_kernel_v2` (both measured on v5e):
+
+    * fm (rows, 19) -> f9T (9, tb*rows) lane-major: the (rows, k<128) operand
+      was T(8,128)-padded 6.7x in HBM and staged padded per tile; (9, 128)
+      blocks pad only 9->16 sublanes.  M/V_i are gone entirely:
+    * term_i = M_i (sum_j V_j grad W) uses a REST-STATIC row sum (the same
+      quantity as rs6[:, 3:6]) — it moves to the XLA mid-section, computed
+      once per step on lane-packed components instead of per pair here.
+    * The F_i contraction moves PAST the MXU dot into a lane-major epilogue:
+      D = sT @ Z^T with Z = [z_0; z_1; z_2], then
+      termj[r, a] = sum_{c,d} F[c,d](r) * D[6+3c+a, d*rows+r] on (1, rows)
+      lane rows (measured 0.269 vs 0.385 us/tile for row-math vs padded
+      column-math, tools/lanemajor_probe.py).  This also deletes the per-pair
+      u_c = F z mults (~15 VPU ops/pair).
+    * Output fT (3, tb*rows) lane-major ((rows, 3) was 42x lane-padded).
+
+    The kernel is natively batched over ``tb`` tiles (row-side blocks must
+    span tb*rows = 128 lanes).
+    """
+    rows = restT_rows_ref.shape[2]
+    slab = static_slab_ref.shape[2]
+    L = slab // chunks
+    f9T = f9T_ref[...]                   # (9, tb*rows)
+    f32 = f9T.dtype
+    out_cols = []
+    for i in range(tb):
+        rr = restT_rows_ref[i]           # (3, rows)
+        dots = jnp.zeros((16, 3 * rows), f32)
+        for k in range(chunks):
+            rs = static_slab_ref[i, 0:3, k * L:(k + 1) * L]
+            dx, gfac = _pair_coeffs_g(rr, rs, h)
+            gv = gfac * static_slab_ref[i, 4:5, k * L:(k + 1) * L]
+            sT = srT_ref[i, :, k * L:(k + 1) * L].astype(f32)   # (16, L)
+            nw = [gv * dx[b] for b in range(3)]
+            Z = jnp.concatenate(
+                [sum(nw[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
+                     for b in range(3)) for d in range(3)], axis=0)  # (3 rows, L)
+            dots = dots + _dot_t(sT, Z)                              # (16, 3 rows)
+        fi = f9T[:, i * rows:(i + 1) * rows]                         # (9, rows)
+        t_rows = []
+        for a in range(3):
+            acc = None
+            for c in range(3):
+                row = dots[6 + 3 * c + a:7 + 3 * c + a, :]           # (1, 3 rows)
+                for d in range(3):
+                    term = (fi[3 * c + d:3 * c + d + 1, :]
+                            * row[:, d * rows:(d + 1) * rows])
+                    acc = term if acc is None else acc + term
+            t_rows.append(acc)
+        out_cols.append(jnp.concatenate(t_rows, axis=0))             # (3, rows)
+    fT_ref[...] = jnp.concatenate(out_cols, axis=1)                  # (3, tb*rows)
 
 
 def _forces_warp_bwd_kernel_v2(restT_rows_ref, static_slab_ref,

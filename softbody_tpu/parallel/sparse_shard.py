@@ -64,13 +64,14 @@ def stack_shard_buckets(sb: SparseBlocked):
         b0 = per[0]
         assert all(b.slab_len == b0.slab_len and b.n_tiles == b0.n_tiles
                    for b in per), "shard bucket signature mismatch"
-        stacked.append({
+        leaves = {
             "gidx8": jnp.stack([b.gidx8 for b in per]),
             "restT_rows": jnp.stack([b.restT_rows for b in per]),
             "static_slab": jnp.stack([b.static_slab for b in per]),
-            "static2": (jnp.stack([b.static2 for b in per])
-                        if per[0].static2 is not None else None),
-        })
+        }
+        if per[0].static2 is not None:
+            leaves["static2"] = jnp.stack([b.static2 for b in per])
+        stacked.append(leaves)
         meta.append((start, b0.rows, b0.slab_len))
         start += b0.n_tiles
     return stacked, meta

@@ -80,7 +80,7 @@ class DevBucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets", "rs6", "stat_rows"],
+    data_fields=["buckets", "rs6", "stat_rows", "rs6T"],
     meta_fields=["rows", "n_tiles", "n_slots", "n_shards"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +101,11 @@ class SparseBlocked:
     # (t, rows, 18) fused static per-row record [rs6 | mu | lam | vol | rc_9]
     # for the fused K1+mid kernel (None -> unfused path)
     stat_rows: jnp.ndarray | None = None
+    # (6, n_tiles*rows) LANE-MAJOR static moment row sums (= rs6^T): the v4
+    # path's corrections and XLA term_i read whole rows (a per-step strided
+    # column extraction of the (m, 6) form would not reliably be hoisted out
+    # of the episode scan)
+    rs6T: jnp.ndarray | None = None
 
 
 # MEASURED at 100k on v5e (2026-08-18): chunking the K2 slab is a net LOSS at
@@ -233,6 +238,7 @@ def build_sparse_scene(
         n_slots=ns,
         n_shards=layout.n_shards,
         stat_rows=stat_rows,
+        rs6T=jnp.asarray(rs6_np.T.copy(), dtype),
     )
 
     mats = Materials(
@@ -277,11 +283,15 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     """Bucketed Pallas pair kernels + lane-packed XLA mid-section.
 
     The moments kernels emit RAW dots; the ``- pos_i * (static rest row sum)``
-    correction happens here in XLA.  The row sums come from a moments call on
-    an all-ones RHS — a loop-invariant computation XLA hoists out of the
-    episode scan, so it costs nothing per step.
+    correction happens here in XLA against the host-built rs6/rs6T arrays.
+    Round-3 v4 layout: both kernels move their row-side data LANE-MAJOR —
+    ayT (18, m) out of K1, f9T (9, m) into K2, termjT (3, m) out of K2 — so
+    none of it pays the (rows, k<128) T(8,128) padding, and the mid-section's
+    component extraction is contiguous rows.
     """
-    from ..ops.pallas.packed import forces_packed, forces_warp_packed, moments_packed
+    from ..ops.pallas.packed import (
+        forces_packed, moments_packed_v4, pack_components,
+    )
     from ..ops.pallas.pair_kernels import _interpret_default
 
     interpret = _interpret_default() if interpret is None else interpret
@@ -290,12 +300,14 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     m = t * rows
     dtype = pos_slots.dtype
 
-    def moments_all(p_slots):
-        parts = [moments_packed(
-            b.restT_rows, b.static_slab, b.static2,
-            p_slots, b.gidx8, cfg.h, interpret) for b in sb.buckets]
+    def moments_all_T(p_slots):
+        packed = pack_components(
+            [p_slots[:, 0], p_slots[:, 1], p_slots[:, 2]], 8, 8)
+        parts = [moments_packed_v4(
+            b.restT_rows, b.static_slab,
+            packed, b.gidx8, cfg.h, interpret) for b in sb.buckets]
         # bucket-major tile order: concat IS tile order
-        return jnp.concatenate(parts, axis=0).reshape(m, 18)
+        return jnp.concatenate(parts, axis=1)               # (18, m)
 
     # fused K1+mid path: one kernel emits the K2 operand records directly;
     # the sr packed gather source is then a FREE row-major reshape
@@ -303,7 +315,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                  and cfg.pair_dtype != "bfloat16" and sb.stat_rows is not None)
     if use_fused:
         from ..ops.pallas.packed import (
-            fused_k1mid, pack_components, rows_from_components,
+            forces_warp_packed, fused_k1mid, rows_from_components,
         )
 
         pos_m_ = pos_slots[:m]
@@ -340,18 +352,17 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         out = jnp.zeros_like(pos_slots)
         return out.at[:m].set(f.reshape(m, 3))
 
-    ay = moments_all(pos_slots)
-    rs6 = sb.rs6                                               # (m, 6), col b
+    ayT = moments_all_T(pos_slots)
+    rs6T = sb.rs6T                                             # (6, m), row b
     pos_m = pos_slots[:m]
-    # kernel emits the transposed [3b+a] layout; relabel (free at mat3 level)
-    # and subtract the -pos_i * rowsum correction COMPONENT-WISE in the
-    # lane-packed mat3 space (a broadcasted (m, 6, 3) correction tensor would
-    # materialize with its minor dim padded to 128 lanes — 42x HBM bloat)
-    A_raw = mat3.transpose3(mat3.from_trailing(ay[:, :9].reshape(m, 3, 3)))
-    Y_raw = mat3.transpose3(mat3.from_trailing(ay[:, 9:18].reshape(m, 3, 3)))
-    A = mat3.pack([[A_raw[a, b] - pos_m[:, a] * rs6[:, b]
+    # kernel emits rows in the transposed [3b+a] order; component extraction
+    # from the lane-major (18, m) array is CONTIGUOUS rows, and the
+    # -pos_i * rowsum correction stays COMPONENT-WISE in the lane-packed mat3
+    # space (a broadcasted (m, 6, 3) correction tensor would materialize with
+    # its minor dim padded to 128 lanes — 42x HBM bloat)
+    A = mat3.pack([[ayT[3 * b + a] - pos_m[:, a] * rs6T[b]
                     for b in range(3)] for a in range(3)])
-    Y = mat3.pack([[Y_raw[a, b] - pos_m[:, a] * rs6[:, 3 + b]
+    Y = mat3.pack([[ayT[9 + 3 * b + a] - pos_m[:, a] * rs6T[3 + b]
                     for b in range(3)] for a in range(3)])
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
@@ -371,17 +382,17 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                 cfg.h, interpret,
             ))
     else:
-        # fused per-row operand [F_9 | M_9 | V_i] and per-slot record
-        # [S_6 | R_9^T] (see forces_warp_packed)
-        from ..ops.pallas.packed import rows_from_components
+        # v4 lane-major warp path (ops/pallas/pair_kernels._forces_warp_kernel_v4):
+        # F ships as ONE compact (9, m) lane-major stack (no transpose, no
+        # 128-lane padding); the kernel returns termj (3, m) lane-major; the
+        # 0.5 V_i scale and term_i = M_i (sum_j V_j grad W) — a REST-STATIC
+        # row sum (sb.svnwT) the v2 kernel recomputed every step — apply here
+        # on lane-packed components.
+        from ..ops.pallas.packed import forces_warp_packed_v4
 
-        fm_rows = rows_from_components(
+        f9T = jax.lax.optimization_barrier(jnp.stack(
             [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
-             F[2, 0], F[2, 1], F[2, 2],
-             M[0, 0], M[0, 1], M[0, 2], M[1, 0], M[1, 1], M[1, 2],
-             M[2, 0], M[2, 1], M[2, 2], vol_m], t, rows)
-        from ..ops.pallas.packed import pack_components
-
+             F[2, 0], F[2, 1], F[2, 2]], axis=0))                  # (9, m)
         # pair_dtype is an explicit bf16 opt-in; otherwise keep the sim dtype
         pdt = (jnp.dtype("bfloat16") if cfg.pair_dtype == "bfloat16"
                else jnp.dtype(dtype))
@@ -391,11 +402,21 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
               R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
               R[0, 2], R[1, 2], R[2, 2])], 16, 8, n_total=sb.n_slots)
         for b in sb.buckets:
-            f_parts.append(forces_warp_packed(
-                b.restT_rows, b.static_slab,
-                b.rows_of(fm_rows), sr_packed, b.gidx8,
+            mb = b.n_tiles * rows
+            f9T_b = jax.lax.slice_in_dim(
+                f9T, b.tile_start * rows, b.tile_start * rows + mb, axis=1)
+            f_parts.append(forces_warp_packed_v4(
+                b.restT_rows, b.static_slab, f9T_b, sr_packed, b.gidx8,
                 cfg.h, interpret, chunks=_chunks_for(b.slab_len),
             ))
+        termjT = jnp.concatenate(f_parts, axis=1)                  # (3, m)
+        f_comp = [
+            0.5 * vol_m * (termjT[a]
+                           + sum(M[a, b_] * rs6T[3 + b_] for b_ in range(3)))
+            for a in range(3)
+        ]
+        out = jnp.zeros_like(pos_slots)
+        return out.at[:m].set(jnp.stack(f_comp, axis=1))
     f = jnp.concatenate(f_parts, axis=0)
     out = jnp.zeros_like(pos_slots)
     return out.at[:m].set(f.reshape(m, 3))
