@@ -23,9 +23,10 @@ NORTH_STAR = 1e8
 
 
 def main():
-    from softbody_tpu.utils.hostmem import enable_heap_reuse
+    from softbody_tpu.utils.hostmem import enable_compilation_cache, enable_heap_reuse
 
     enable_heap_reuse()
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--steps", type=int, default=1000)

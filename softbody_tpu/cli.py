@@ -77,9 +77,10 @@ def initial_x(args, body, cfg):
 
 
 def main(argv=None):
-    from .utils.hostmem import enable_heap_reuse
+    from .utils.hostmem import enable_compilation_cache, enable_heap_reuse
 
     enable_heap_reuse()
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     import os
 

@@ -78,6 +78,10 @@ class SimConfig:
                                      # instead of one lane-packed XLA pass over
                                      # all m rows.  Kept as an option for
                                      # rows>=128 layouts.
+    contact_check: bool = True       # dynamic contact: detect per-cell cap
+                                     # overflow (dropped candidates) and warn
+                                     # via a debug callback instead of silently
+                                     # computing incomplete forces
     remat: bool = True               # jax.checkpoint the step fn inside lax.scan
     backend: str = "gather"          # "gather" (N,K tables) | "blocked" (slot space,
                                      # XLA ref) | "pallas" (slot space, fused kernels)

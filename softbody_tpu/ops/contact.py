@@ -99,11 +99,19 @@ def _pair_force(dx, grid: ContactGrid):
     return mag[..., None] * dx
 
 
-def contact_forces(pos, grid: ContactGrid, exclude=None):
+def contact_forces(pos, grid: ContactGrid, exclude=None, with_overflow=False):
     """(N, 3) contact forces from current positions, re-binned on device.
 
     ``exclude``: optional (N, K) int32 neighbor table whose pairs are skipped
     (defaults to ``grid.exclude``; see :class:`ContactGrid`).
+
+    ``with_overflow``: also return a scalar bool that is True when any queried
+    cell holds more than ``cap`` particles — i.e. when candidates were DROPPED
+    and the force field is incomplete.  The occupancy comes from the
+    start/end windows the enumeration already computes, so the check is free;
+    callers surface it (see sim/rollout.total_force's debug callback).  The
+    cap itself cannot grow inside ``jit`` (static shapes) — on overflow
+    rebuild the grid with a larger ``cap``/smaller ``cell_scale``.
     """
     if exclude is None:
         exclude = grid.exclude
@@ -114,6 +122,7 @@ def contact_forces(pos, grid: ContactGrid, exclude=None):
     skey = key[order]
 
     f = jnp.zeros_like(pos)
+    overflow = jnp.zeros((), bool)
     idx_i = jnp.arange(n, dtype=jnp.int32)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
@@ -125,6 +134,8 @@ def contact_forces(pos, grid: ContactGrid, exclude=None):
                 nkey = jnp.where(valid, nkey, gx * gy * gz)
                 start = jnp.searchsorted(skey, nkey, side="left")
                 end = jnp.searchsorted(skey, nkey, side="right")
+                if with_overflow:
+                    overflow |= jnp.any(valid & (end - start > grid.cap))
                 # (N, cap) candidate slots in sorted order
                 slots = start[:, None] + jnp.arange(grid.cap)[None, :]
                 live = slots < end[:, None]
@@ -136,6 +147,8 @@ def contact_forces(pos, grid: ContactGrid, exclude=None):
                 dx = pos[:, None, :] - pos[cand]                  # (N, cap, 3)
                 fp = _pair_force(dx, grid)
                 f = f + jnp.sum(jnp.where(mask[..., None], fp, 0.0), axis=1)
+    if with_overflow:
+        return f, overflow
     return f
 
 

@@ -55,8 +55,33 @@ def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig, scene: Scene = 
     if scene is not None and scene.contact is not None:
         from ..ops.contact import contact_forces
 
-        f = f + contact_forces(pos, scene.contact)
+        if cfg.contact_check:
+            f_c, ovf = contact_forces(pos, scene.contact, with_overflow=True)
+            jax.debug.callback(_warn_contact_overflow, ovf,
+                               scene.contact.cap, ordered=False)
+            f = f + f_c
+        else:
+            f = f + contact_forces(pos, scene.contact)
     return f
+
+
+def _warn_contact_overflow(ovf, cap):
+    """Host-side overflow sink: an overfull contact cell means candidates were
+    DROPPED (ops/contact.py cap contract) — warn once per process instead of
+    letting the episode continue on silently incomplete forces."""
+    global _overflow_warned
+    if bool(ovf) and not _overflow_warned:
+        _overflow_warned = True
+        import warnings
+
+        warnings.warn(
+            f"dynamic contact cell occupancy exceeded cap={cap}: candidates "
+            "were dropped and contact forces are incomplete; rebuild the "
+            "contact grid with a larger cap or smaller cell_scale",
+            RuntimeWarning, stacklevel=2)
+
+
+_overflow_warned = False
 
 
 def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleState:

@@ -43,3 +43,25 @@ def enable_heap_reuse() -> bool:
         return False
     _done = ok
     return ok
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA/Mosaic compilation cache (idempotent, best-effort).
+
+    A 100k sparse scene compiles 16+ bucket-shaped Pallas kernels; over the
+    remote-compile tunnel that is minutes of wall per cold process.  The
+    on-disk cache makes every later process with identical HLO start in
+    seconds.  Opt out with SOFTBODY_NO_COMPILE_CACHE=1."""
+    if os.environ.get("SOFTBODY_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    try:
+        cache = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.expanduser("~/.cache/softbody_tpu/xla"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -54,6 +54,53 @@ def test_exclude_table_skips_pairs():
     assert np.all(f == 0.0)
 
 
+def test_overflow_detection():
+    """An overfull cell must be DETECTED, not silently truncated
+    (ops/contact.py cap contract)."""
+    pos = _cloud(64)
+    # every particle in one cell, cap far below occupancy
+    grid = build_contact_grid([-0.1] * 3, [1.1] * 3, r_c=2.0, cap=4)
+    assert int(max_occupancy(pos, grid)) > 4
+    f, ovf = jax.jit(
+        lambda p: contact_forces(p, grid, with_overflow=True))(pos)
+    assert bool(ovf)
+    # roomy cap on the same cloud -> no overflow, identical call shape
+    grid_ok = build_contact_grid([-0.1] * 3, [1.1] * 3, r_c=0.12, cap=32)
+    f2, ovf2 = contact_forces(pos, grid_ok, with_overflow=True)
+    assert not bool(ovf2)
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(contact_forces(pos, grid_ok)))
+
+
+def test_overflow_warns_inside_episode():
+    """total_force surfaces the overflow via a RuntimeWarning (once per
+    process) when cfg.contact_check is on."""
+    import warnings
+
+    from softbody_tpu.sim import rollout as ro
+
+    pts, out_num = inflatable_sphere(n_outer=24, radius=0.02)
+    h = suggest_h(pts, 12)
+    cfg = warp_parity().replace(h=h, dtype="float64", dt=1e-6, frames=4,
+                                target_frames=2)
+    scene = build_scene(pts, cfg, out_num=out_num)
+    # cell = 4h holds many particles of a body whose spacing is ~h: cap=1
+    # guarantees overflow
+    grid = build_contact_grid(pts.min(0) - 0.01, pts.max(0) + 0.01,
+                              r_c=4.0 * h, cap=1)
+    scene_c = scene._replace(contact=grid)
+    x = jnp.zeros(scene.rest_position.shape[0], dtype=jnp.float64)
+    ro._overflow_warned = False
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _, final, _ = rollout(x, scene_c, cfg, n_steps=2)
+        jax.block_until_ready(final.position)
+        jax.effects_barrier()
+    ro._overflow_warned = False
+    assert any("cap=1" in str(w.message) for w in rec), (
+        [str(w.message) for w in rec])
+
+
 def test_contact_gradient_flows():
     pos = _cloud(64)
     grid = build_contact_grid([-0.1] * 3, [1.1] * 3, r_c=0.25, cap=64)
