@@ -80,7 +80,6 @@ def main(argv=None):
     from .utils.hostmem import enable_compilation_cache, enable_heap_reuse
 
     enable_heap_reuse()
-    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     import os
 
@@ -97,6 +96,8 @@ def main(argv=None):
             jax.config.update("jax_enable_x64", True)
             if not os.environ.get("JAX_PLATFORMS"):
                 jax.config.update("jax_platforms", "cpu")
+    if args.dtype != "float64":
+        enable_compilation_cache()  # TPU runs only (see utils/hostmem.py)
     from . import warp_parity
     from .geometry.shapes import suggest_h
     from .opt import driver
@@ -139,6 +140,24 @@ def main(argv=None):
         return xs
 
     target_dir = out / "target" / args.name
+
+    def render_x(x_state, sub):
+        """Roll out x and render every 50th frame (visualize loop,
+        sim.py:385-395).  Procedural bodies without a mesh fall back to the
+        sphere-cloud adapter (sim_taichi.py:300-315)."""
+        from .render.adapters import render_episode
+        from .sim.rollout import rollout
+        import jax.numpy as jnp
+
+        every = 50 if cfg.frames % 50 == 0 else 1
+        _, _, rec = rollout(jnp.asarray(x_state, cfg.dtype), scene, cfg,
+                            record_every=every)
+        frames = np.asarray(rec[0])
+        if sop is not None:
+            frames = frames[:, np.asarray(sop)]  # slot space -> particle order
+        render_episode(frames, out_num, body["faces"], body["uv"],
+                       None, out / "render" / f"{args.name}{sub}", every=1)
+
     x_render = None   # optimized x (state space) for --render, set by opt paths
     if args.set_target:
         driver.generate_targets(to_state(x0), scene, cfg, target_dir,
@@ -172,35 +191,28 @@ def main(argv=None):
             x_render = np.asarray(x_fin)
             print("adam final loss:", losses[-1])
         else:
+            # --render during L-BFGS: the reference renders the CURRENT
+            # iterate's trajectory after EVERY loss evaluation, overwriting
+            # render/{name}_opt (sim.py:385-395)
+            # the optimization variable is already STATE-space (x0 passes
+            # through to_state below)
+            on_eval = ((lambda xo: render_x(xo, "_opt"))
+                       if args.render else None)
             result, history = driver.optimize_lbfgs(
                 scene, cfg, to_state(x0), tp, tv, opt_dir=opt_dir,
-                x_target=to_state(x0), maxiter=args.maxiter,
+                x_target=to_state(x0), maxiter=args.maxiter, on_eval=on_eval,
             )
             x_render = np.asarray(result.x)
             print("L-BFGS done:", result.message)
 
     if args.render:
-        # The reference renders the deformed body of the CURRENT iterate
-        # every 50th frame (sim.py:385-395): after optimization we roll out
-        # the OPTIMIZED x (x_render is already in state space for adam/lbfgs);
-        # --init/--set_target render the initial x.  Procedural bodies without
-        # a mesh fall back to the sphere-cloud adapter (sim_taichi.py:300-315).
-        from .render.adapters import render_episode
-        from .sim.rollout import rollout
-        import jax.numpy as jnp
-
+        # final render: the OPTIMIZED x for the opt paths (x_render is already
+        # in state space), the initial x for --init/--set_target
         x_state = x_render
         if x_state is None or args.set_target or args.init:
             x_state = to_state(x0)
-        every = 50 if cfg.frames % 50 == 0 else 1
-        _, _, rec = rollout(jnp.asarray(x_state, cfg.dtype), scene, cfg,
-                            record_every=every)
-        frames = np.asarray(rec[0])
-        if sop is not None:
-            frames = frames[:, np.asarray(sop)]  # slot space -> particle order
         sub = "" if args.set_target else ("_init" if args.init else "_opt")
-        render_episode(frames, out_num, body["faces"], body["uv"],
-                       None, out / "render" / f"{args.name}{sub}", every=1)
+        render_x(x_state, sub)
 
 
 if __name__ == "__main__":

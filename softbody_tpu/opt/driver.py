@@ -86,9 +86,14 @@ def optimize_lbfgs(
     n_steps=None,
     verbose: bool = True,
     plot: bool = True,
+    on_eval=None,
 ):
     """scipy L-BFGS-B over the jit'd value_and_grad (sim.py:449-461 parity:
     maxiter/ftol/gtol, per-iteration x.npy + losses/distances json + plots).
+
+    ``on_eval(x_opt)``: called after every loss evaluation with the current
+    iterate — the hook point for the reference's render-inside-loss behavior
+    (sim.py:385-395, --render renders the CURRENT trajectory every eval).
 
     Returns (result, history dict)."""
     import scipy.optimize
@@ -110,6 +115,8 @@ def optimize_lbfgs(
         state["last_grad"] = np.asarray(grad, np.float64)
         if verbose:
             print("loss: ", state["last_loss"])
+        if on_eval is not None:
+            on_eval(np.asarray(x_opt))
         return state["last_loss"]
 
     def jac(x_opt):

@@ -51,8 +51,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
     A 100k sparse scene compiles 16+ bucket-shaped Pallas kernels; over the
     remote-compile tunnel that is minutes of wall per cold process.  The
     on-disk cache makes every later process with identical HLO start in
-    seconds.  Opt out with SOFTBODY_NO_COMPILE_CACHE=1."""
+    seconds.  Opt out with SOFTBODY_NO_COMPILE_CACHE=1.
+
+    TPU-only: XLA:CPU caches AOT results keyed on exact machine features and
+    warns about SIGILL risk when reloaded (compile vs host feature-set
+    mismatch on this VM), and CPU compiles are fast anyway."""
     if os.environ.get("SOFTBODY_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower().startswith("cpu"):
         return
     import jax
 

@@ -41,13 +41,14 @@ def test_optimize_renders_optimized_x(tmp_path, monkeypatch):
     run(tmp_path, "--set_target")
 
     # capture the x the render rollout receives
-    seen = {}
+    seen = {"calls": 0}
     import softbody_tpu.render.adapters as adapters
     real = adapters.render_episode
 
     def spy(frames, out_num, faces, uv, tex, folder, **kw):
         seen["frames"] = np.asarray(frames)
         seen["folder"] = str(folder)
+        seen["calls"] += 1
         return real(frames, out_num, faces, uv, tex, folder, **kw)
 
     monkeypatch.setattr(adapters, "render_episode", spy)
@@ -59,6 +60,9 @@ def test_optimize_renders_optimized_x(tmp_path, monkeypatch):
 
     assert seen, "render path not exercised"
     assert seen["folder"].endswith("demo_opt")
+    # reference renders inside EVERY loss eval (sim.py:385-395) plus our final
+    # render of the optimized x: > 1 call proves the during-optimization path
+    assert seen["calls"] > 1, seen["calls"]
     assert scene_files(tmp_path, "_opt")
     opt_x = np.load(tmp_path / "opt" / "demo" / "x.npy")
     assert np.any(np.abs(opt_x - 0.5) > 1e-6), "optimizer did not move off the warm start"
