@@ -115,15 +115,32 @@ def contact_forces(pos, grid: ContactGrid, exclude=None, with_overflow=False):
     """
     if exclude is None:
         exclude = grid.exclude
-    n = pos.shape[0]
+    return contact_forces_query(pos, pos, 0, grid, exclude_q=exclude,
+                                with_overflow=with_overflow)
+
+
+def contact_forces_query(pos_all, pos_q, gid_offset, grid: ContactGrid,
+                         exclude_q=None, with_overflow=False):
+    """Contact forces on a QUERY subset against the full particle set.
+
+    ``pos_all``: (N, 3) all positions (the bin structure); ``pos_q``: (nq, 3)
+    query positions — row i is global particle ``gid_offset + i`` (used for
+    self-exclusion; candidate ids are global).  This is the shard-local form:
+    each shard bins the all-gathered positions once and queries only its own
+    rows, so per-shard work is O(nq * cap) not O(N * cap)
+    (parallel/sparse_shard.py).  ``exclude_q``: (nq, K) global-id table of
+    pairs to skip."""
+    n = pos_all.shape[0]
+    nq = pos_q.shape[0]
     gx, gy, gz = grid.dims
-    key, q, inb = _keys(pos, grid)
+    key, _, _ = _keys(pos_all, grid)
+    _, q, inb = _keys(pos_q, grid)
     order = jnp.argsort(key)
     skey = key[order]
 
-    f = jnp.zeros_like(pos)
+    f = jnp.zeros_like(pos_q)
     overflow = jnp.zeros((), bool)
-    idx_i = jnp.arange(n, dtype=jnp.int32)
+    gid_q = gid_offset + jnp.arange(nq, dtype=jnp.int32)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
@@ -136,15 +153,15 @@ def contact_forces(pos, grid: ContactGrid, exclude=None, with_overflow=False):
                 end = jnp.searchsorted(skey, nkey, side="right")
                 if with_overflow:
                     overflow |= jnp.any(valid & (end - start > grid.cap))
-                # (N, cap) candidate slots in sorted order
+                # (nq, cap) candidate slots in sorted order
                 slots = start[:, None] + jnp.arange(grid.cap)[None, :]
                 live = slots < end[:, None]
-                cand = order[jnp.clip(slots, 0, n - 1)]          # (N, cap)
-                mask = live & (cand != idx_i[:, None]) & valid[:, None]
-                if exclude is not None:
+                cand = order[jnp.clip(slots, 0, n - 1)]          # (nq, cap)
+                mask = live & (cand != gid_q[:, None]) & valid[:, None]
+                if exclude_q is not None:
                     mask &= ~jnp.any(
-                        cand[:, :, None] == exclude[:, None, :], axis=-1)
-                dx = pos[:, None, :] - pos[cand]                  # (N, cap, 3)
+                        cand[:, :, None] == exclude_q[:, None, :], axis=-1)
+                dx = pos_q[:, None, :] - pos_all[cand]            # (nq, cap, 3)
                 fp = _pair_force(dx, grid)
                 f = f + jnp.sum(jnp.where(mask[..., None], fp, 0.0), axis=1)
     if with_overflow:

@@ -30,6 +30,7 @@ analog of multi-GPU halo exchange the reference never had (SURVEY.md §2c).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import numpy as np
@@ -94,12 +95,15 @@ def _local_buckets(stacked_local, meta):
     return out
 
 
-def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
+def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6T_loc, rest_corr_loc,
                    cfg: SimConfig, interpret):
-    """Shard-local sparse elastic forces with all-gathered packed sources."""
+    """Shard-local sparse elastic forces with all-gathered packed sources.
+
+    Same v4 lane-major kernel dataflow as the single-chip
+    sim/sparse.elastic_forces_sparse; only the packed gather sources differ
+    (all-gathered over the mesh instead of local)."""
     from ..ops.pallas.packed import (
-        forces_packed, forces_warp_packed, moments_packed_src,
-        pack_components, rows_from_components,
+        forces_warp_packed_v4, moments_packed_v4, pack_components,
     )
 
     m_loc = pos_loc.shape[0]
@@ -114,17 +118,15 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
         return jnp.concatenate([packed, zero], axis=0)  # trailing empty group
 
     pos_packed = gathered_source([pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], 8)
-    ay = jnp.concatenate([
-        moments_packed_src(b.restT_rows, b.static_slab, b.static2,
-                           pos_packed, b.gidx8, cfg.h, interpret)
+    ayT = jnp.concatenate([
+        moments_packed_v4(b.restT_rows, b.static_slab,
+                          pos_packed, b.gidx8, cfg.h, interpret)
         for b in lbuckets
-    ], axis=0).reshape(m_loc, 18)
+    ], axis=1)                                            # (18, m_loc)
 
-    A_raw = mat3.transpose3(mat3.from_trailing(ay[:, :9].reshape(m_loc, 3, 3)))
-    Y_raw = mat3.transpose3(mat3.from_trailing(ay[:, 9:18].reshape(m_loc, 3, 3)))
-    A = mat3.pack([[A_raw[a, b] - pos_loc[:, a] * rs6_loc[:, b]
+    A = mat3.pack([[ayT[3 * b + a] - pos_loc[:, a] * rs6T_loc[b]
                     for b in range(3)] for a in range(3)])
-    Y = mat3.pack([[Y_raw[a, b] - pos_loc[:, a] * rs6_loc[:, 3 + b]
+    Y = mat3.pack([[ayT[9 + 3 * b + a] - pos_loc[:, a] * rs6T_loc[3 + b]
                     for b in range(3)] for a in range(3)])
     lscene = Scene(rest_position=None, materials=lmats, topology=None,
                    out_num=0, blocked=None, rest_corr=rest_corr_loc,
@@ -147,26 +149,33 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6_loc, rest_corr_loc,
             f_parts.append(pk._forces_fwd_impl(
                 b.restT_rows, b.static_slab, b.rows_of(G9_rows),
                 g_slab16, b.rows_of(vol_rows), cfg.h, interpret))
-    else:
-        fm_rows = rows_from_components(
-            [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
-             F[2, 0], F[2, 1], F[2, 2],
-             M[0, 0], M[0, 1], M[0, 2], M[1, 0], M[1, 1], M[1, 2],
-             M[2, 0], M[2, 1], M[2, 2], vol_m], t_loc, rows)
-        pdt = (jnp.dtype("bfloat16") if cfg.pair_dtype == "bfloat16"
-               else jnp.dtype(dtype))
-        sr_packed = gathered_source(
-            [c.astype(pdt) for c in
-             (S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
-              R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
-              R[0, 2], R[1, 2], R[2, 2])], 16)
-        for b in lbuckets:
-            f_parts.append(forces_warp_packed(
-                b.restT_rows, b.static_slab,
-                b.rows_of(fm_rows), sr_packed, b.gidx8,
-                cfg.h, interpret, chunks=_chunks_for(b.slab_len),
-            ))
-    return jnp.concatenate(f_parts, axis=0).reshape(m_loc, 3)
+        return jnp.concatenate(f_parts, axis=0).reshape(m_loc, 3)
+
+    f9T = jax.lax.optimization_barrier(jnp.stack(
+        [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
+         F[2, 0], F[2, 1], F[2, 2]], axis=0))             # (9, m_loc)
+    pdt = (jnp.dtype("bfloat16") if cfg.pair_dtype == "bfloat16"
+           else jnp.dtype(dtype))
+    sr_packed = gathered_source(
+        [c.astype(pdt) for c in
+         (S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
+          R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
+          R[0, 2], R[1, 2], R[2, 2])], 16)
+    for b in lbuckets:
+        mb = b.n_tiles * rows
+        f9T_b = jax.lax.slice_in_dim(
+            f9T, b.tile_start * rows, b.tile_start * rows + mb, axis=1)
+        f_parts.append(forces_warp_packed_v4(
+            b.restT_rows, b.static_slab, f9T_b, sr_packed, b.gidx8,
+            cfg.h, interpret, chunks=_chunks_for(b.slab_len),
+        ))
+    termjT = jnp.concatenate(f_parts, axis=1)             # (3, m_loc)
+    f_comp = [
+        0.5 * vol_m * (termjT[a]
+                       + sum(M[a, b_] * rs6T_loc[3 + b_] for b_ in range(3)))
+        for a in range(3)
+    ]
+    return jnp.stack(f_comp, axis=1)
 
 
 def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
@@ -182,20 +191,27 @@ def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
 
     interpret = _interpret_default() if interpret is None else interpret
     sb: SparseBlocked = scene.blocked
-    if scene.obstacles is not None:
-        raise NotImplementedError("sharded sparse episode: obstacles not supported")
     n_steps = cfg.frames if n_steps is None else n_steps
     m = sb.n_tiles * sb.rows
     stacked, meta = stack_shard_buckets(sb)
     mats = jax.tree.map(lambda a: a[:m], scene.materials)
     rest_m = scene.rest_position[:m]
-    rs6 = sb.rs6
+    rs6T = sb.rs6T
     rest_corr = scene.rest_corr  # (3, 3, m) lane-packed
     x_m = x[:m]
     tp_m = target_p[:, :m]
     tv_m = target_v[:, :m]
     n_targets = target_p.shape[0]
     interval = max(n_steps // n_targets, 1)
+    obstacles = scene.obstacles
+    contact = scene.contact
+    m_loc = m // sb.n_shards
+    if contact is not None and contact.exclude is not None:
+        # shard the (slot-space) exclude table rows alongside the state
+        contact_excl = contact.exclude[:m]
+        contact = dataclasses.replace(contact, exclude=None)
+    else:
+        contact_excl = None
 
     pspec = P(AXIS)
     pspec2 = P(AXIS, None)
@@ -205,28 +221,46 @@ def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
     ]
     mats_spec = Materials(mass=pspec, volume=pspec, mu=pspec, lam=pspec,
                           free=pspec2, external=pspec2)
+    # obstacle params are tiny and identical everywhere: fully replicated
+    obst_spec = jax.tree.map(lambda _: P(), obstacles)
+    contact_spec = jax.tree.map(lambda _: P(), contact)
 
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(pspec, P(None, AXIS, None), P(None, AXIS, None),
-                  bucket_specs, mats_spec, pspec2, pspec2,
-                  P(None, None, AXIS)),
+                  bucket_specs, mats_spec, pspec2, P(None, AXIS),
+                  P(None, None, AXIS), obst_spec, contact_spec,
+                  jax.tree.map(lambda _: pspec2, contact_excl)),
         out_specs=(P(), (pspec2, pspec2)),
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
-    def run(x_loc, tp_loc, tv_loc, stacked_loc, lmats, rest_loc, rs6_loc,
-            rc_loc):
+    def run(x_loc, tp_loc, tv_loc, stacked_loc, lmats, rest_loc, rs6T_loc,
+            rc_loc, obst, cgrid, cexcl_loc):
         lbuckets = _local_buckets(stacked_loc, meta)
         ratio_loc = compute_ratio(x_loc, cfg)
 
         def elastic(pos):
-            return _elastic_local(pos, ratio_loc, lmats, lbuckets, rs6_loc,
+            return _elastic_local(pos, ratio_loc, lmats, lbuckets, rs6T_loc,
                                   rc_loc, cfg, interpret)
 
         def total_force(pos, vel, f_el):
             f = lmats.external + f_el - cfg.damping * vel
             if cfg.collision:
                 f = f + ground_penalty(pos, cfg)
+            if obst is not None:
+                from ..ops.obstacles import penalty_force
+
+                f = f + penalty_force(obst, pos)
+            if cgrid is not None:
+                from ..ops.contact import contact_forces_query
+
+                # bin the all-gathered global positions, query only the
+                # local rows; the remote side of each boundary pair is
+                # enumerated symmetrically by its owner shard
+                pos_all = jax.lax.all_gather(pos, AXIS, axis=0, tiled=True)
+                gid0 = jax.lax.axis_index(AXIS) * m_loc
+                f = f + contact_forces_query(pos_all, pos, gid0, cgrid,
+                                             exclude_q=cexcl_loc)
             return f
 
         dt = cfg.dt
@@ -277,7 +311,8 @@ def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
         loss = jax.lax.psum(acc, AXIS)
         return loss, (state.position, state.velocity)
 
-    return run(x_m, tp_m, tv_m, stacked, mats, rest_m, rs6, rest_corr)
+    return run(x_m, tp_m, tv_m, stacked, mats, rest_m, rs6T, rest_corr,
+               obstacles, contact, contact_excl)
 
 
 def sparse_sharded_value_and_grad(scene: Scene, cfg: SimConfig, mesh,

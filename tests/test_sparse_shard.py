@@ -86,6 +86,62 @@ def test_sharded_sparse_matches_single_device(mode):
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-12)
 
 
+def test_sharded_obstacles_and_contact_match_single_device():
+    """BASELINE configs #3/#4 sharded: SDF obstacle penalty + dynamic
+    re-binned contact inside the shard_map episode reproduce the single-device
+    rollout (obstacle math is slot-local; contact bins the all-gathered
+    positions and queries only local rows)."""
+    from softbody_tpu.ops import obstacles as obs
+    from softbody_tpu.ops.contact import build_contact_grid
+
+    pts, out_num = inflatable_sphere(n_outer=64, radius=0.05)
+    h = suggest_h(pts, 16)
+    cfg = warp_parity().replace(
+        h=h, dtype="float64", dt=1e-6, target_frames=2, backend="pallas",
+    )
+    # plane cuts into the body and r_c exceeds rest spacing so both penalty
+    # terms fire from step one (this is a parity test, not a physics scenario)
+    obstacles = obs.make(
+        obs.plane([0.0, 1.0, 0.0], float(pts[:, 1].min()) + 0.01),
+        stiffness=1e4, margin=1e-3)
+    grid = build_contact_grid(pts.min(0) - 0.02, pts.max(0) + 0.02,
+                              r_c=1.2 * h, cap=64, stiffness=1e4)
+    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=16,
+                                    n_shards=N_DEV, obstacles=obstacles)
+    scene = scene._replace(contact=grid)
+    ns = scene.blocked.n_slots
+    m = scene.blocked.n_tiles * scene.blocked.rows
+    rng = np.random.default_rng(1)
+    x = jnp.zeros(ns).at[jnp.asarray(sop)].set(
+        jnp.asarray(rng.normal(size=len(pts)) * 0.3))
+    base = np.asarray(scene.rest_position)
+    tp = np.stack([base * 1.02, base * 1.04])
+    tv = np.zeros_like(tp)
+    pad = np.ones(ns, bool)
+    pad[np.asarray(sop)] = False
+    tp[:, pad] = base[pad]
+    tv[:, pad] = np.asarray(cfg.initial_velocity, np.float64)
+    tp, tv = jnp.asarray(tp), jnp.asarray(tv)
+
+    loss_ref, final_ref, _ = jax.jit(
+        lambda xv: rollout(xv, scene, cfg, tp, tv, n_steps=N_STEPS))(x)
+    mesh = make_mesh(N_DEV)
+    loss_sh, (pos_sh, vel_sh) = jax.jit(
+        lambda xv: sparse_sharded_episode(xv, scene, cfg, tp, tv, mesh,
+                                          n_steps=N_STEPS))(x)
+    # obstacle + contact forces must actually fire for this to test anything
+    from softbody_tpu.ops.contact import contact_forces
+    from softbody_tpu.ops.obstacles import penalty_force
+    assert float(jnp.abs(contact_forces(
+        final_ref.position[:m], grid)).max()) > 0.0
+    assert float(jnp.abs(penalty_force(
+        obstacles, final_ref.position[:m])).max()) > 0.0
+    np.testing.assert_allclose(np.asarray(pos_sh),
+                               np.asarray(final_ref.position[:m]),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_sharded_sparse_grad_matches():
     pts, cfg, scene, x, tp, tv = setup(warp_parity)
