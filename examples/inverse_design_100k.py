@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Reference-scale inverse design on one TPU chip (VERDICT r2 item 2).
+
+The reference's unit of work is a 3000-step differentiable episode with 100
+loss frames inside a scipy L-BFGS-B loop (/root/reference/sim.py:63-65,
+341-372,449-461).  This script runs that exact workload at ~100k particles on
+the flagship sparse-pallas backend:
+
+1. build a ~100k-particle procedural inflatable body;
+2. pick a ground-truth inflation field x* (radial bands — a pattern the
+   optimizer cannot guess from the initial x0 = 0 fill);
+3. generate target trajectories by rolling x* forward (the --set_target
+   workflow, sim.py:363-369) — 100 sampled frames of 3000 steps;
+4. L-BFGS-B from x0 = 0 with the jit'd episode value-and-grad, saving the
+   reference's per-iteration artifacts (x.npy, losses/distances json,
+   convergence plots) under --out.
+
+Usage: python examples/inverse_design_100k.py [--particles 100000]
+           [--steps 3000] [--maxiter 25] [--out out/inverse100k]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from softbody_tpu.utils.hostmem import enable_compilation_cache, enable_heap_reuse
+
+    enable_heap_reuse()
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--target-frames", type=int, default=100)
+    ap.add_argument("--maxiter", type=int, default=25)
+    ap.add_argument("--out", default="out/inverse100k")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from softbody_tpu import warp_parity
+    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.opt import driver
+    from softbody_tpu.sim.rollout import rollout
+    from softbody_tpu.sim.sparse import build_sparse_scene
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    # ---- body (same sizing fit as bench.py)
+    t0 = time.perf_counter()
+    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
+    a = (len(probe) - 1000) / 1000**1.5
+    n_outer = 1000
+    for _ in range(40):
+        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
+    pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
+    n = len(pts)
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 32), dtype="float32", dt=1e-6,
+        frames=args.steps, target_frames=args.target_frames,
+        backend="pallas")
+    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+    sb = scene.blocked
+    print(f"scene: N={n} slots={sb.n_slots} tiles={sb.n_tiles} "
+          f"build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}",
+          flush=True)
+
+    # ---- ground-truth inflation field: radial bands in [-1, 1]
+    r = np.linalg.norm(pts - pts.mean(0), axis=1)
+    x_star_p = np.sin(r / r.max() * 3.0 * np.pi)  # 1.5 radial bands
+    x_star = np.zeros(sb.n_slots)
+    x_star[sop] = x_star_p
+
+    # ---- targets from x* (in-memory --set_target, sim.py:363-369)
+    interval = args.steps // args.target_frames
+    t0 = time.perf_counter()
+    _, _, rec = jax.jit(lambda xv: rollout(
+        xv, scene, cfg, n_steps=args.steps, record_every=interval))(
+        jnp.asarray(x_star, cfg.dtype))
+    tp = jax.block_until_ready(rec[0])
+    tv = rec[1]
+    print(f"targets: {args.target_frames} frames of {args.steps} steps "
+          f"in {time.perf_counter()-t0:.1f}s (incl fwd compile)", flush=True)
+    np.save(out / "x_star.npy", x_star_p)
+
+    # ---- L-BFGS-B from x0 = 0 (reference loop, sim.py:449-461)
+    t0 = time.perf_counter()
+    result, history = driver.optimize_lbfgs(
+        scene, cfg, np.zeros(sb.n_slots), tp, tv, opt_dir=out,
+        x_target=x_star, maxiter=args.maxiter, n_steps=args.steps)
+    wall = time.perf_counter() - t0
+    print(f"L-BFGS: {result.nit} iterations / {result.nfev} evals in "
+          f"{wall:.0f}s — {result.message}", flush=True)
+
+    report = {
+        "n_particles": n,
+        "steps": args.steps,
+        "target_frames": args.target_frames,
+        "maxiter": args.maxiter,
+        "iterations": int(result.nit),
+        "function_evals": int(result.nfev),
+        "wall_seconds": wall,
+        "loss_first": history["losses"][0] if history["losses"] else None,
+        "loss_last": history["losses"][-1] if history["losses"] else None,
+        "distance_first": history["distances"][0] if history["distances"] else None,
+        "distance_last": history["distances"][-1] if history["distances"] else None,
+        "message": str(result.message),
+    }
+    (out / "report.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
