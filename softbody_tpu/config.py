@@ -83,6 +83,15 @@ class SimConfig:
                                      # via a debug callback instead of silently
                                      # computing incomplete forces
     remat: bool = True               # jax.checkpoint the step fn inside lax.scan
+    remat_chunk: int = -1            # sqrt-nested checkpointing: scan chunks
+                                     # of this many steps, each chunk itself
+                                     # checkpointed, so backward residuals are
+                                     # O(T/c + c) states instead of O(T).
+                                     # -1 = auto (chunk ~ sqrt(T) once
+                                     # T >= 2048: a 3000-step episode at 100k
+                                     # stores ~13 GB of linear-remat carries —
+                                     # measured OOM on a 16 GB v5e), 0 = off,
+                                     # >0 = explicit chunk length
     backend: str = "gather"          # "gather" (N,K tables) | "blocked" (slot space,
                                      # XLA ref) | "pallas" (slot space, fused kernels)
 

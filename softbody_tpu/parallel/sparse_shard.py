@@ -78,6 +78,97 @@ def stack_shard_buckets(sb: SparseBlocked):
     return stacked, meta
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["send_idx"],
+    meta_fields=["halo_rows", "n_local_groups", "rounds", "n_shards"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    """Static halo-exchange plan for the sparse SPMD path.
+
+    Replaces the two full all-gathers per force eval with ring ``ppermute``
+    rounds moving only BOUNDARY groups (the same static-rest-topology fact
+    halo.py exploits for the gather backend, ported to packed-group space).
+    Round k (k = 1..S-1): shard s sends shard (s+k) % S the packed rows of
+    the groups that shard statically needs from s.  Per-round send lists are
+    padded to the max over shards (SPMD needs one shape); padding rows land
+    in the receiver's halo buffer but are never referenced by the remapped
+    gather tables.
+
+    send_idx: tuple of (S, L_k) int32 — LOCAL row indices each shard sends
+    in round k (sharded P(AXIS, None) at runtime).
+    halo_rows: total received rows sum_k L_k; the local source layout is
+    [local gpl rows | halo_rows | 1 zero row], which the REMAPPED bucket
+    gidx8 tables index."""
+
+    send_idx: tuple
+    halo_rows: int
+    n_local_groups: int
+    rounds: tuple          # ring offset k of each send_idx entry (empty
+                           # rounds are dropped; halo-buffer blocks land in
+                           # send_idx order)
+    n_shards: int = 1
+
+
+def build_halo_plan(sb: SparseBlocked):
+    """Compute (plan, remapped_stacked, meta) from a shard-major layout.
+
+    Returns the same (stacked, meta) structure as stack_shard_buckets but
+    with every shard's gidx8 remapped into its [local | halo | zero] source
+    space."""
+    S = sb.n_shards
+    if S <= 1:
+        raise ValueError("scene was not built with n_shards > 1")
+    m = sb.n_tiles * sb.rows
+    gpl = m // (S * 8)             # groups per shard (shard-major, contiguous)
+    empty_gid = m // 8             # the trailing all-empty group (global)
+    nb = len(sb.buckets) // S
+
+    # per-shard needed remote groups, bucketed by owner
+    needed = []                    # needed[d][s] = sorted np.array of gids
+    for d in range(S):
+        gids = np.unique(np.concatenate(
+            [np.asarray(b.gidx8).ravel() for b in sb.buckets[d * nb:(d + 1) * nb]]))
+        gids = gids[gids != empty_gid]
+        owner = gids // gpl
+        needed.append([gids[owner == s] for s in range(S)])
+
+    send_idx, rounds = [], []
+    halo_off = 0
+    # remap tables: global gid -> local source row, per shard
+    remap = np.full((S, empty_gid + 1), 0, dtype=np.int64)
+    for d in range(S):
+        lo = d * gpl
+        remap[d, lo:lo + gpl] = np.arange(gpl)
+    for k in range(1, S):
+        lists = [needed[(s + k) % S][s] for s in range(S)]  # s sends these
+        L = max(len(x) for x in lists)
+        if L == 0:
+            continue
+        idx = np.zeros((S, L), dtype=np.int32)
+        for s, gl in enumerate(lists):
+            idx[s, :len(gl)] = gl - s * gpl                 # local rows at s
+            d = (s + k) % S
+            remap[d, gl] = gpl + halo_off + np.arange(len(gl))
+        send_idx.append(idx)
+        rounds.append(k)
+        halo_off += L
+    zero_row = gpl + halo_off
+    for d in range(S):
+        remap[d, empty_gid] = zero_row
+    plan = HaloPlan(send_idx=tuple(jnp.asarray(i) for i in send_idx),
+                    halo_rows=halo_off, n_local_groups=gpl,
+                    rounds=tuple(rounds), n_shards=S)
+
+    stacked, meta = stack_shard_buckets(sb)
+    for k in range(nb):
+        g = np.stack([remap[d][np.asarray(sb.buckets[d * nb + k].gidx8)]
+                      for d in range(S)])
+        stacked[k]["gidx8"] = jnp.asarray(g, jnp.int32)
+    return plan, stacked, meta
+
+
 def _local_buckets(stacked_local, meta):
     """Rebuild DevBuckets from the shard-local (1, ...) leaves."""
     out = []
@@ -96,12 +187,15 @@ def _local_buckets(stacked_local, meta):
 
 
 def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6T_loc, rest_corr_loc,
-                   cfg: SimConfig, interpret):
-    """Shard-local sparse elastic forces with all-gathered packed sources.
+                   cfg: SimConfig, interpret, halo=None):
+    """Shard-local sparse elastic forces with exchanged packed sources.
 
     Same v4 lane-major kernel dataflow as the single-chip
-    sim/sparse.elastic_forces_sparse; only the packed gather sources differ
-    (all-gathered over the mesh instead of local)."""
+    sim/sparse.elastic_forcs_sparse; only the packed gather sources differ.
+    ``halo=None``: all-gather the full packed sources (bucket gidx8 stay
+    GLOBAL).  ``halo=(plan, send_idx_loc)``: ring-ppermute only the boundary
+    groups of the HaloPlan; gidx8 must be the remapped local tables
+    (build_halo_plan)."""
     from ..ops.pallas.packed import (
         forces_warp_packed_v4, moments_packed_v4, pack_components,
     )
@@ -110,12 +204,23 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6T_loc, rest_corr_loc,
     rows = lbuckets[0].rows
     t_loc = m_loc // rows
     dtype = pos_loc.dtype
+    n_sh = halo[0].n_shards if halo is not None else 1
 
     def gathered_source(comps, pad_width):
         packed_loc = pack_components(comps, pad_width, 8)
-        packed = jax.lax.all_gather(packed_loc, AXIS, axis=0, tiled=True)
-        zero = jnp.zeros((1, packed.shape[1]), packed.dtype)
-        return jnp.concatenate([packed, zero], axis=0)  # trailing empty group
+        zero = jnp.zeros((1, packed_loc.shape[1]), packed_loc.dtype)
+        if halo is None:
+            packed = jax.lax.all_gather(packed_loc, AXIS, axis=0, tiled=True)
+            return jnp.concatenate([packed, zero], axis=0)  # trailing empty group
+        plan, send_idx_loc = halo
+        parts = [packed_loc]
+        for k, idx_loc in zip(plan.rounds, send_idx_loc):
+            blk = packed_loc[idx_loc[0]]          # (L_k, W) local boundary rows
+            blk = jax.lax.ppermute(
+                blk, AXIS,
+                perm=[(s, (s + k) % n_sh) for s in range(n_sh)])
+            parts.append(blk)
+        return jnp.concatenate(parts + [zero], axis=0)
 
     pos_packed = gathered_source([pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], 8)
     ayT = jnp.concatenate([
@@ -179,12 +284,17 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6T_loc, rest_corr_loc,
 
 
 def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
-                           mesh, n_steps=None, interpret=None):
+                           mesh, n_steps=None, interpret=None, halo=False):
     """Full sharded episode.  Returns (loss, (final_pos, final_vel)) with the
     state arrays in GLOBAL body-slot order (m, 3).  Differentiable wrt ``x``.
 
     ``x``/targets are given in global slot space ((n_slots,) / (T, n_slots, 3)
     like the single-chip path); the trailing empty group is sliced off here.
+
+    ``halo=True``: exchange only boundary groups via ring ppermute rounds
+    (build_halo_plan) instead of all-gathering the full packed sources —
+    per-eval comm drops from O(m) to O(boundary), the scaling regime for
+    chips >> 8 or small per-chip slabs.
     """
     from ..ops.pallas.pair_kernels import _interpret_default
     from ..ops.collision import ground_penalty
@@ -193,7 +303,10 @@ def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
     sb: SparseBlocked = scene.blocked
     n_steps = cfg.frames if n_steps is None else n_steps
     m = sb.n_tiles * sb.rows
-    stacked, meta = stack_shard_buckets(sb)
+    if halo:
+        plan, stacked, meta = build_halo_plan(sb)
+    else:
+        plan, (stacked, meta) = None, stack_shard_buckets(sb)
     mats = jax.tree.map(lambda a: a[:m], scene.materials)
     rest_m = scene.rest_position[:m]
     rs6T = sb.rs6T
@@ -224,24 +337,27 @@ def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
     # obstacle params are tiny and identical everywhere: fully replicated
     obst_spec = jax.tree.map(lambda _: P(), obstacles)
     contact_spec = jax.tree.map(lambda _: P(), contact)
+    send_idx = plan.send_idx if plan is not None else ()
 
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(pspec, P(None, AXIS, None), P(None, AXIS, None),
                   bucket_specs, mats_spec, pspec2, P(None, AXIS),
                   P(None, None, AXIS), obst_spec, contact_spec,
-                  jax.tree.map(lambda _: pspec2, contact_excl)),
+                  jax.tree.map(lambda _: pspec2, contact_excl),
+                  tuple(pspec2 for _ in send_idx)),
         out_specs=(P(), (pspec2, pspec2)),
         check_vma=False,  # pallas_call out_shapes carry no vma annotation
     )
     def run(x_loc, tp_loc, tv_loc, stacked_loc, lmats, rest_loc, rs6T_loc,
-            rc_loc, obst, cgrid, cexcl_loc):
+            rc_loc, obst, cgrid, cexcl_loc, send_idx_loc):
         lbuckets = _local_buckets(stacked_loc, meta)
         ratio_loc = compute_ratio(x_loc, cfg)
+        halo_arg = (plan, send_idx_loc) if plan is not None else None
 
         def elastic(pos):
             return _elastic_local(pos, ratio_loc, lmats, lbuckets, rs6T_loc,
-                                  rc_loc, cfg, interpret)
+                                  rc_loc, cfg, interpret, halo=halo_arg)
 
         def total_force(pos, vel, f_el):
             f = lmats.external + f_el - cfg.damping * vel
@@ -312,17 +428,18 @@ def sparse_sharded_episode(x, scene: Scene, cfg: SimConfig, target_p, target_v,
         return loss, (state.position, state.velocity)
 
     return run(x_m, tp_m, tv_m, stacked, mats, rest_m, rs6T, rest_corr,
-               obstacles, contact, contact_excl)
+               obstacles, contact, contact_excl, send_idx)
 
 
 def sparse_sharded_value_and_grad(scene: Scene, cfg: SimConfig, mesh,
-                                  n_steps=None, interpret=None):
+                                  n_steps=None, interpret=None, halo=False):
     """jit'd (loss, dloss/dx) over the sharded episode — the multi-chip
     training step for the flagship backend."""
 
     def f(x, tp, tv):
         loss, _ = sparse_sharded_episode(x, scene, cfg, tp, tv, mesh,
-                                         n_steps=n_steps, interpret=interpret)
+                                         n_steps=n_steps, interpret=interpret,
+                                         halo=halo)
         return loss
 
     grad_fn = jax.value_and_grad(f)

@@ -190,8 +190,43 @@ def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
         )
         return acc, state, rec
 
-    (state, acc), _ = jax.lax.scan(body, (state0, zero), jnp.arange(n_steps))
+    carry = (state0, zero)
+    chunk_len = _remat_chunk(cfg, n_steps)
+    if chunk_len:
+        # sqrt-nested checkpointing: the outer scan saves only chunk-boundary
+        # states (T/c of them); each chunk's backward recomputes its forward,
+        # saving c per-step carries.  Peak residual memory drops from O(T)
+        # states to O(T/c + c) — at T=3000, 100k slots, linear remat stores
+        # ~13 GB of (pos, vel, f_el) carries and OOMs a 16 GB v5e; nested at
+        # c=50 stores ~0.5 GB.  Cost: one extra forward recompute per step in
+        # the backward pass (the standard recursive-checkpoint trade).
+        n_bulk = (n_steps // chunk_len) * chunk_len
+
+        @jax.checkpoint
+        def chunk_body(c, fs):
+            c, _ = jax.lax.scan(body, c, fs)
+            return c, None
+
+        carry, _ = jax.lax.scan(
+            chunk_body, carry, jnp.arange(n_bulk).reshape(-1, chunk_len))
+        if n_bulk < n_steps:  # tail too short to matter for memory
+            carry, _ = jax.lax.scan(
+                body, carry, n_bulk + jnp.arange(n_steps - n_bulk))
+    else:
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
+    state, acc = carry
     return acc, state, None
+
+
+def _remat_chunk(cfg: SimConfig, n_steps: int) -> int:
+    """Resolve cfg.remat_chunk: 0 = linear remat, >0 = explicit chunk length,
+    -1 = auto (~sqrt(T) once the episode is long enough for the linear-remat
+    residuals to threaten HBM)."""
+    if not cfg.remat or cfg.remat_chunk == 0:
+        return 0
+    if cfg.remat_chunk > 0:
+        return min(cfg.remat_chunk, n_steps)
+    return round(n_steps ** 0.5) if n_steps >= 2048 else 0
 
 
 def loss_fn(x, scene: Scene, cfg: SimConfig, target_p, target_v, n_steps=None):

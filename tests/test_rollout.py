@@ -128,6 +128,28 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_n), rtol=1e-9, atol=1e-12)
 
 
+def test_nested_remat_matches_linear():
+    """sqrt-nested checkpointing (cfg.remat_chunk) must be a pure memory
+    transform: identical loss and gradient to linear per-step remat, including
+    a chunk-tail split (n_steps not a chunk multiple)."""
+    pts, cfg, osim, scene = make_case(warp_parity, n_outer=48)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=len(pts)) * 0.3)
+    tp = jnp.asarray(np.stack([pts * 1.1, pts * 1.2]))
+    tv = jnp.zeros_like(tp)
+
+    def vg(cfg_v, n_steps):
+        return jax.value_and_grad(
+            lambda xv: loss_fn(xv, scene, cfg_v, tp, tv, n_steps=n_steps))(x)
+
+    for n_steps in (16, 18):  # 18 = 4*4 bulk + 2-step tail
+        l_lin, g_lin = vg(cfg.replace(target_frames=2, remat_chunk=0), n_steps)
+        l_nst, g_nst = vg(cfg.replace(target_frames=2, remat_chunk=4), n_steps)
+        np.testing.assert_allclose(float(l_nst), float(l_lin), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_nst), np.asarray(g_lin),
+                                   rtol=1e-9, atol=1e-14)
+
+
 def test_dirichlet_mask_freezes_particles():
     pts, cfg, osim, scene = make_case(warp_parity, n_outer=48)
     mask = np.ones((len(pts), 3))

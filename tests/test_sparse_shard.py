@@ -142,6 +142,39 @@ def test_sharded_obstacles_and_contact_match_single_device():
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-12)
 
 
+def test_halo_exchange_matches_all_gather():
+    """Boundary-group ring exchange (build_halo_plan + ppermute rounds) must
+    reproduce the all-gather episode exactly: same kernels, same operand
+    VALUES, only the source construction differs."""
+    from softbody_tpu.parallel.sparse_shard import build_halo_plan
+
+    pts, cfg, scene, x, tp, tv = setup(warp_parity)
+    mesh = make_mesh(N_DEV)
+
+    plan, _, _ = build_halo_plan(scene.blocked)
+    m = scene.blocked.n_tiles * scene.blocked.rows
+    assert 0 < plan.halo_rows < m // 8, plan.halo_rows  # strictly less comm
+
+    loss_ag, (pos_ag, vel_ag) = jax.jit(
+        lambda xv: sparse_sharded_episode(xv, scene, cfg, tp, tv, mesh,
+                                          n_steps=N_STEPS))(x)
+    loss_h, (pos_h, vel_h) = jax.jit(
+        lambda xv: sparse_sharded_episode(xv, scene, cfg, tp, tv, mesh,
+                                          n_steps=N_STEPS, halo=True))(x)
+    np.testing.assert_allclose(np.asarray(pos_h), np.asarray(pos_ag),
+                               rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(float(loss_h), float(loss_ag), rtol=1e-12)
+
+    # gradient through the ppermute rounds
+    run = sparse_sharded_value_and_grad(scene, cfg, mesh, n_steps=N_STEPS,
+                                        halo=True)
+    run_ag = sparse_sharded_value_and_grad(scene, cfg, mesh, n_steps=N_STEPS)
+    _, gh = run(x, tp, tv)
+    _, gag = run_ag(x, tp, tv)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gag),
+                               rtol=1e-9, atol=1e-14)
+
+
 @pytest.mark.slow
 def test_sharded_sparse_grad_matches():
     pts, cfg, scene, x, tp, tv = setup(warp_parity)

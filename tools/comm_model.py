@@ -66,8 +66,9 @@ def main():
 
     rows_md = []
     print("| N | m slots | sparse AG MB/step/chip | t_comm ms | t_comp ms "
-          "| eff (overlap) | halo MB/step/chip | halo eff |")
-    print("|---|---|---|---|---|---|---|---|")
+          "| eff (overlap) | sparse-halo MB | sp-halo eff "
+          "| gather-halo MB | g-halo eff |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for n_s in args.ns.split(","):
         n_target = int(n_s)
         pts, out_num = body(n_target)
@@ -83,6 +84,20 @@ def main():
         t_comm = bytes_recv / ICI_BW * 1e3                      # ms
         t_comp = args.step_ns * 1e-9 * n / S * 1e3              # ms per chip
         eff = t_comp / max(t_comp, t_comm)                      # overlapped
+
+        # sparse halo-only exchange (parallel/sparse_shard.build_halo_plan):
+        # per eval each chip moves halo_rows packed rows of both sources
+        # (pos 256 B/row + sr 512 B/row)
+        from softbody_tpu.sim.sparse import build_sparse_scene
+        from softbody_tpu.parallel import sparse_shard as ssh
+
+        cfg_s = warp_parity().replace(h=h, dtype="float32", backend="pallas")
+        scene_s, _ = build_sparse_scene(pts, cfg_s, out_num=out_num,
+                                        layout=lay, n_shards=S)
+        plan, _, _ = ssh.build_halo_plan(scene_s.blocked)
+        shb = plan.halo_rows * (256 + 512)
+        sp_halo_mb = f"{shb / 1e6:.2f}"
+        sp_halo_eff = f"{t_comp / max(t_comp, shb / ICI_BW * 1e3):.2f}"
         halo_mb = halo_eff = ""
         if n <= args.halo_max:
             from softbody_tpu.config import SimConfig
@@ -104,7 +119,8 @@ def main():
             t_comm_h = hb / ICI_BW * 1e3
             halo_eff = f"{t_comp / max(t_comp, t_comm_h):.2f}"
         print(f"| {n} | {m} | {bytes_recv / 1e6:.2f} | {t_comm:.3f} "
-              f"| {t_comp:.3f} | {eff:.2f} | {halo_mb} | {halo_eff} |"
+              f"| {t_comp:.3f} | {eff:.2f} | {sp_halo_mb} | {sp_halo_eff} "
+              f"| {halo_mb} | {halo_eff} |"
               f"  <!-- layout build {build_s:.1f}s -->")
 
 
