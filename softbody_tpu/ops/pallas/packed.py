@@ -788,42 +788,51 @@ def _forces_warp_v4_vjp_fwd(restT_rows, static_slab, f9T, sr_packed, gidx8,
 
 
 def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
-    """v4 backward: the v4 forward is the SAME bilinear form in (f9, srT) as
-    the v2 termj path, so the v2 backward kernel computes its cotangents
-    verbatim.  The doctored fm operand [F_9 | 0_9 | vol=2] makes the v2
-    kernel's 0.5*vol_rows prescale a no-op (v4 applies 0.5*V_i in XLA), and
-    its dM columns (the term_i path, now external) are discarded.  Row-side
-    relayouts (3, m) <-> (t, rows, 3) happen here in XLA — backward-only."""
+    """v4 backward: lane-major end to end via the v4-native backward kernel
+    (pair_kernels._forces_warp_bwd_kernel_v4).  No (t, rows, 19)-class HBM
+    operands, no XLA-side row relayouts — dfT/f9T slice along lanes per tile
+    chunk and df9T assembles by lane-axis concat."""
     restT_rows, static_slab, f9T, sr_packed, gidx8 = res
     t, _, rows = restT_rows.shape
     slab = static_slab.shape[2]
     m = t * rows
     n_rows_src = sr_packed.shape[0]
     dtype = dfT.dtype
+    tb = _v4_tb(rows)
 
-    df_rows = jnp.transpose(dfT.reshape(3, t, rows), (1, 2, 0))
-    f9_rows = jnp.transpose(f9T.reshape(9, t, rows), (1, 2, 0))
-    fm19 = jnp.concatenate([
-        f9_rows, jnp.zeros((t, rows, 9), dtype),
-        jnp.full((t, rows, 1), 2.0, dtype),
-    ], axis=2)
+    # chunk over tiles (VMEM-bounded backward); chunk must be a tb multiple
+    ch = min(_BWD_TILE_CHUNK, t)
+    ch += (-ch) % tb
+    n_chunks = -(-t // ch)
+    t_pad = n_chunks * ch
 
-    def body(args):
-        rr, st, fm_c, gi, df_c = args
+    def prep(a):
+        if t_pad > t:
+            a = jnp.pad(a, [(0, t_pad - t)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_chunks, ch) + a.shape[1:])
+
+    def prep_T(a):
+        if t_pad > t:
+            a = jnp.pad(a, ((0, 0), (0, (t_pad - t) * rows)))
+        return jnp.transpose(
+            a.reshape(a.shape[0], n_chunks, ch * rows), (1, 0, 2))
+
+    stacked = (prep(restT_rows), prep(static_slab), prep(gidx8),
+               prep_T(f9T), prep_T(dfT))
+
+    def scan_body(acc, args):
+        rr, st, gi, f9T_c, dfT_c = args
         srT = gather_packed_T(sr_packed, gi, slab, 16)
-        dfm_c, dsT6_c, drT_c = pk._forces_warp_bwd_impl(
-            rr, st, fm_c, srT, df_c, h, interpret,
+        df9T_c, dsrT_c = pk._forces_warp_bwd_v4_impl(
+            rr, st, f9T_c, srT, dfT_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
         )
-        dsrT_c = jnp.concatenate([dsT6_c, drT_c], axis=1)
-        return (scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8),
-                dfm_c[:, :, 0:9])
+        return (acc + scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8),
+                df9T_c)
 
-    dsr_packed, df9 = _scan_chunks(
-        body, (restT_rows, static_slab, fm19, gidx8, df_rows), t,
-        jnp.zeros((n_rows_src, 128), dtype),
-    )
-    df9T = jnp.transpose(df9, (2, 0, 1)).reshape(9, m)
+    dsr_packed, df9T_st = jax.lax.scan(
+        scan_body, jnp.zeros((n_rows_src, 128), dtype), stacked)
+    df9T = jnp.transpose(df9T_st, (1, 0, 2)).reshape(9, t_pad * rows)[:, :m]
     return (None, None, df9T, dsr_packed.astype(sr_packed.dtype), None)
 
 

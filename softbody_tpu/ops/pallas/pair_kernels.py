@@ -920,3 +920,114 @@ def _forces_warp_bwd_impl(restT_rows, static_slab, fm_rows, srT_slab,
         interpret=interpret,
     )(*args)
     return dfm[:t], dsT6[:t], drT[:t]
+
+
+def _forces_warp_bwd_kernel_v4(restT_rows_ref, static_slab_ref,
+                               f9T_ref, srT_ref, dfT_ref,
+                               df9T_ref, dsrT_ref, *, h, chunks, tb):
+    """Backward of :func:`_forces_warp_kernel_v4`, LANE-MAJOR end to end.
+
+    The v2 backward consumed fm (rows, 19) / df (rows, 3) row-major operands
+    and emitted dfm (rows, 19) — each T(8,128)-padded ~7x in HBM and staged
+    padded per tile, plus XLA-side transposes on both sides of the call
+    (packed.py round-2 wiring).  Here every row-side tensor moves as the same
+    compact lane-major stacks the forward already uses — f9T (9, tb*rows),
+    dfT (3, tb*rows) in; df9T (9, tb*rows) out — and the per-tile row views
+    the math needs come from three small in-register transposes per tile
+    ((3, rows) / (9, rows) / (rows, 9)) instead of per-step HBM round trips.
+
+    dfT is the cotangent of the RAW termj output (the 0.5*V_i scale and the
+    static term_i path live in the XLA mid-section, as in the forward).
+    dsrT (tb, 15, slab) = [dS_6 | dR^T_9] lane-major per tile; the caller
+    scatter-adds it into the packed [S|R] source layout.
+    """
+    rows = restT_rows_ref.shape[2]
+    slab = static_slab_ref.shape[2]
+    L = slab // chunks
+    f9T = f9T_ref[...]                    # (9, tb*rows)
+    dfT = dfT_ref[...]                    # (3, tb*rows)
+    f32 = dfT.dtype
+    df9_cols = []
+    for i in range(tb):
+        rr = restT_rows_ref[i]                                   # (3, rows)
+        dfc = jnp.transpose(dfT[:, i * rows:(i + 1) * rows])     # (rows, 3)
+        f9c = jnp.transpose(f9T[:, i * rows:(i + 1) * rows])     # (rows, 9)
+        df9_acc = [jnp.zeros((rows, 1), f32) for _ in range(9)]
+        for k in range(chunks):
+            rs = static_slab_ref[i, 0:3, k * L:(k + 1) * L]
+            dx, gfac = _pair_coeffs_g(rr, rs, h)
+            gv = gfac * static_slab_ref[i, 4:5, k * L:(k + 1) * L]
+            sT = srT_ref[i, :, k * L:(k + 1) * L].astype(f32)    # (16, L)
+            nw = [gv * dx[b] for b in range(3)]                  # V_j folded
+            z = [sum(nw[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
+                     for b in range(3)) for d in range(3)]
+            wprime = []
+            for c in range(3):
+                u_c = sum(f9c[:, 3 * c + d:3 * c + d + 1] * z[d]
+                          for d in range(3))                     # (rows, L)
+                # dR^T[3c+a][s] = sum_r df[r, a] u_c[r, s]
+                dsrT_ref[i, 6 + 3 * c:9 + 3 * c, k * L:(k + 1) * L] = (
+                    _dot_rows(dfc, u_c))
+                # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]
+                wprime.append(
+                    sum(dfc[:, a:a + 1] * sT[6 + 3 * c + a:7 + 3 * c + a, :]
+                        for a in range(3)))
+            y = []
+            for d in range(3):
+                for c in range(3):
+                    df9_acc[3 * c + d] = df9_acc[3 * c + d] + jnp.sum(
+                        z[d] * wprime[c], axis=1, keepdims=True)
+                y.append(sum(f9c[:, 3 * c + d:3 * c + d + 1] * wprime[c]
+                             for c in range(3)))
+            ds6 = [None] * 6
+            for d in range(3):
+                for b in range(3):
+                    k6 = _SYM6[3 * d + b]
+                    term = jnp.sum(nw[b] * y[d], axis=0, keepdims=True)
+                    ds6[k6] = term if ds6[k6] is None else ds6[k6] + term
+            dsrT_ref[i, 0:6, k * L:(k + 1) * L] = jnp.concatenate(ds6, axis=0)
+        df9_cols.append(jnp.transpose(jnp.concatenate(df9_acc, axis=1)))
+    df9T_ref[...] = jnp.concatenate(df9_cols, axis=1)            # (9, tb*rows)
+
+
+def _forces_warp_bwd_v4_impl(restT_rows, static_slab, f9T, srT_slab, dfT,
+                             h, interpret, chunks):
+    """pallas_call wrapper for the v4 warp backward (used by packed.py).
+
+    Tile count t must already be a tb multiple (caller pads).  Returns
+    df9T (9, t*rows) and dsrT (t, 15, slab) = [dS_6 | dR^T_9].
+    """
+    t, _, rows = restT_rows.shape
+    slab = static_slab.shape[2]
+    tb = 128 // rows
+    interpret = _interpret_default() if interpret is None else interpret
+    kernel = functools.partial(
+        _forces_warp_bwd_kernel_v4, h=h, chunks=chunks, tb=tb)
+    df9T, dsrT = pl.pallas_call(
+        kernel,
+        grid=(t // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 3, rows), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 5, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 16, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((9, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 15, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, t * rows), dfT.dtype),
+            jax.ShapeDtypeStruct((t, 15, slab), dfT.dtype),
+        ],
+        interpret=interpret,
+    )(restT_rows, static_slab, f9T, srT_slab, dfT)
+    return df9T, dsrT

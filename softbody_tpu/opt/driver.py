@@ -100,8 +100,12 @@ def optimize_lbfgs(
 
     tp = jnp.asarray(target_p, cfg.dtype)
     tv = jnp.asarray(target_v, cfg.dtype)
+    # targets ride as jit ARGUMENTS: closed-over arrays embed as HLO literal
+    # constants, and at reference scale (100 frames x n_slots x 3 x 2 arrays
+    # ~ 290 MB) the serialized module breaks compile transports
     vg = jax.jit(
-        jax.value_and_grad(lambda q, sc: loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps))
+        jax.value_and_grad(
+            lambda q, sc, tp_, tv_: loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps))
     )
 
     history = {"losses": [], "distances": [], "xk": []}
@@ -110,7 +114,7 @@ def optimize_lbfgs(
         create_folder(opt_dir, exist_ok=True)
 
     def loss(x_opt):
-        val, grad = vg(jnp.asarray(x_opt, cfg.dtype), scene)
+        val, grad = vg(jnp.asarray(x_opt, cfg.dtype), scene, tp, tv)
         state["last_loss"] = float(val)
         state["last_grad"] = np.asarray(grad, np.float64)
         if verbose:
@@ -178,21 +182,21 @@ def optimize_adam(
     tv = jnp.asarray(target_v, cfg.dtype)
     opt = optax.adam(learning_rate)
 
-    def f(q, sc):
-        return loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps)
+    def f(q, sc, tp_, tv_):
+        return loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps)
 
     @jax.jit
-    def run(x, sc):
+    def run(x, sc, tp_, tv_):
         def body(carry, _):
             x, opt_state = carry
-            val, grad = jax.value_and_grad(f)(x, sc)
+            val, grad = jax.value_and_grad(f)(x, sc, tp_, tv_)
             updates, opt_state = opt.update(grad, opt_state, x)
             return (optax.apply_updates(x, updates), opt_state), val
 
         (x, _), losses = jax.lax.scan(body, (x, opt.init(x)), None, length=steps)
         return x, losses
 
-    x_final, losses = run(jnp.asarray(x0, cfg.dtype), scene)
+    x_final, losses = run(jnp.asarray(x0, cfg.dtype), scene, tp, tv)
     return x_final, np.asarray(losses)
 
 
@@ -203,8 +207,10 @@ def grad_check(scene: Scene, cfg: SimConfig, x0, deltas, target_p, target_v,
     Returns list of (delta, analytic, numeric)."""
     tp = jnp.asarray(target_p, cfg.dtype)
     tv = jnp.asarray(target_v, cfg.dtype)
-    f = jax.jit(lambda q, sc: loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps))
-    g = jax.jit(jax.grad(lambda q, sc: loss_fn(q, sc, cfg, tp, tv, n_steps=n_steps)))
+    f_ = lambda q, sc, tp_, tv_: loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps)
+    fj, gj = jax.jit(f_), jax.jit(jax.grad(f_))
+    f = lambda q, sc: fj(q, sc, tp, tv)
+    g = lambda q, sc: gj(q, sc, tp, tv)
 
     grad = np.asarray(g(jnp.asarray(x0, cfg.dtype), scene))
     i = int(np.argmax(np.abs(grad))) if index is None else index
