@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--target-frames", type=int, default=100)
     ap.add_argument("--maxiter", type=int, default=25)
+    ap.add_argument("--x0", default=None,
+                    help="warm-start x (slot space .npy from a prior run's "
+                         "opt artifacts; the reference warm-starts from "
+                         "opt/pear/x.npy the same way, sim.py:454)")
     ap.add_argument("--out", default="out/inverse100k")
     args = ap.parse_args()
 
@@ -84,9 +88,11 @@ def main():
     # ---- targets from x* (in-memory --set_target, sim.py:363-369)
     interval = args.steps // args.target_frames
     t0 = time.perf_counter()
-    _, _, rec = jax.jit(lambda xv: rollout(
-        xv, scene, cfg, n_steps=args.steps, record_every=interval))(
-        jnp.asarray(x_star, cfg.dtype))
+    # scene rides as a jit ARGUMENT (closed-over arrays embed as HLO literal
+    # constants; at this scale the serialized module breaks compile transports)
+    _, _, rec = jax.jit(lambda xv, sc: rollout(
+        xv, sc, cfg, n_steps=args.steps, record_every=interval))(
+        jnp.asarray(x_star, cfg.dtype), scene)
     tp = jax.block_until_ready(rec[0])
     tv = rec[1]
     print(f"targets: {args.target_frames} frames of {args.steps} steps "
@@ -94,9 +100,13 @@ def main():
     np.save(out / "x_star.npy", x_star_p)
 
     # ---- L-BFGS-B from x0 = 0 (reference loop, sim.py:449-461)
+    x0 = np.zeros(sb.n_slots)
+    if args.x0:
+        x0 = np.load(args.x0)
+        assert x0.shape == (sb.n_slots,), (x0.shape, sb.n_slots)
     t0 = time.perf_counter()
     result, history = driver.optimize_lbfgs(
-        scene, cfg, np.zeros(sb.n_slots), tp, tv, opt_dir=out,
+        scene, cfg, x0, tp, tv, opt_dir=out,
         x_target=x_star, maxiter=args.maxiter, n_steps=args.steps)
     wall = time.perf_counter() - t0
     print(f"L-BFGS: {result.nit} iterations / {result.nfev} evals in "

@@ -1,13 +1,22 @@
 #!/usr/bin/env python
 """BASELINE.md "Scale" row demo: a 1M-particle inflation episode on one chip
-plus PBRT scene export of the final frame.
+with reference-length rollout, a gradient step, and PBRT frame export.
 
-Runs the flagship sparse-pallas backend end-to-end at ~1.16M particles
-(procedural inflatable sphere), reports build time and on-device throughput,
-writes artifacts under --out (positions .npy + a sphere-cloud .pbrt scene for
-the deformed final frame; pbrt-v4 renders it offline when available).
+Runs the flagship sparse-pallas backend end-to-end at ~1M particles
+(procedural inflatable sphere):
 
-Usage: python examples/million_particles.py [--particles 1000000] [--steps 200]
+1. full reference-length episode (3000 steps, sim.py:63-64) in one jit'd
+   rollout, recording frames every --render-every steps;
+2. PBRT scene export of the recorded frames (sphere-cloud surface, the
+   Taichi visualize path, sim_taichi.py:300-315); rendered to PNG + mp4
+   offline when pbrt-v4/ffmpeg are installed, scene files otherwise;
+3. ONE gradient step: value_and_grad of the episode loss wrt the inflation
+   field x against an analytically inflated target (the Taichi set_target
+   pattern, sim_taichi.py:290-294) — the sqrt-nested jax.checkpoint policy
+   (sim/rollout.py) keeps the 3000-step backward inside HBM at this scale.
+
+Usage: python examples/million_particles.py [--particles 1000000]
+           [--steps 3000] [--grad-steps 3000] [--render-every 500]
 """
 
 import argparse
@@ -23,12 +32,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from softbody_tpu.utils.hostmem import (enable_compilation_cache,
+                                            enable_heap_reuse)
+
+    enable_heap_reuse()
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=1_000_000)
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--grad-steps", type=int, default=3000,
+                    help="episode length for the gradient step (0 = skip)")
+    ap.add_argument("--render-every", type=int, default=500,
+                    help="record + export a frame every N steps (0 = final only)")
+    ap.add_argument("--render-particles", type=int, default=200_000,
+                    help="surface particles per exported scene")
     ap.add_argument("--out", default="out/million")
-    ap.add_argument("--render-every", type=int, default=0,
-                    help="also export intermediate scenes every N steps")
     args = ap.parse_args()
 
     import jax
@@ -36,26 +55,28 @@ def main():
 
     from softbody_tpu import warp_parity
     from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
-    from softbody_tpu.ops.elasticity import compute_ratio
-    from softbody_tpu.sim.rollout import rollout
+    from softbody_tpu.sim.rollout import loss_fn, rollout
     from softbody_tpu.sim.sparse import build_sparse_scene
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    report = {}
 
+    # ---- body
     t0 = time.perf_counter()
     probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
     a = (len(probe) - 1000) / 1000**1.5
     n_outer = 1000
     for _ in range(40):
-        n_outer = max(((args.particles - n_outer) / a) ** (2 / 3), 8.0)
+        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
     pts, out_num = inflatable_sphere(n_outer=int(n_outer), radius=0.05)
     n = len(pts)
     print(f"body: N={n} ({out_num} outer) gen={time.perf_counter()-t0:.1f}s",
           flush=True)
 
     cfg = warp_parity().replace(h=suggest_h(pts, 32), dtype="float32", dt=1e-6,
-                                target_frames=2, backend="pallas")
+                                frames=args.steps, target_frames=2,
+                                backend="pallas")
     t0 = time.perf_counter()
     scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
     build_s = time.perf_counter() - t0
@@ -64,47 +85,93 @@ def main():
     print(f"scene: slots={sb.n_slots} tiles={sb.n_tiles} "
           f"pairs/step={pairs:.3e} build={build_s:.1f}s "
           f"device={jax.devices()[0]}", flush=True)
+    report.update(n_particles=n, steps=args.steps, build_seconds=build_s,
+                  pairs_per_step=pairs)
 
     # inflate: x > 0 -> ratio ~ 1 (soft), falling body under gravity-lite
-    x = jnp.zeros(sb.n_slots, jnp.float32).at[jnp.asarray(sop)].set(0.5)
+    sop_j = jnp.asarray(np.asarray(sop))
+    x = jnp.zeros(sb.n_slots, jnp.float32).at[sop_j].set(0.5)
 
-    @jax.jit
-    def run(xv, sc):
-        _, final, _ = rollout(xv, sc, cfg, n_steps=args.steps)
-        return final
+    # ---- full-length forward episode, frames recorded on-device
+    rec_every = args.render_every or args.steps
+    if args.steps % rec_every:
+        rec_every = args.steps  # record_every must divide n_steps
+    run = jax.jit(lambda xv, sc: rollout(xv, sc, cfg, n_steps=args.steps,
+                                         record_every=rec_every)[1:])
 
     t0 = time.perf_counter()
-    final = run(x, scene)
-    np.asarray(final.position[0, 0])
+    final, rec = run(x, scene)
+    jax.block_until_ready(final.position)
     compile_s = time.perf_counter() - t0
-    print(f"compile+first run: {compile_s:.1f}s", flush=True)
+    print(f"compile+first episode: {compile_s:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    final = run(x, scene)
-    pos0 = float(np.asarray(final.position[0, 0]))
+    final, rec = run(x, scene)
+    jax.block_until_ready(final.position)
     wall = time.perf_counter() - t0
     thr = n * args.steps / wall
-    print(f"episode chunk: {args.steps} steps in {wall:.2f}s -> "
+    print(f"episode: {args.steps} steps in {wall:.2f}s -> "
           f"{thr:.3e} particle-steps/s", flush=True)
+    report.update(compile_seconds=compile_s, wall_seconds=wall,
+                  particle_steps_per_sec=thr)
 
-    # artifacts: final positions (particle order) + PBRT scene of the surface
-    pos = np.asarray(final.position)[np.asarray(sop)]
-    np.save(out / "final_positions.npy", pos.astype(np.float32))
+    # ---- artifacts: recorded frames -> npy + PBRT scenes (render if pbrt)
     from softbody_tpu.render.adapters import sphere_cloud_scene
+    from softbody_tpu.render.video import export_mp4
 
-    scene_png = str(out / "final.png")
-    sc = sphere_cloud_scene(pos[:min(out_num, 200_000)], scene_png,
-                            workdir=out / ".pbrt")
-    sc.render()  # writes .pbrt/scene.pbrt; renders if pbrt-v4 is installed
-    report = {
-        "n_particles": n,
-        "steps": args.steps,
-        "build_seconds": build_s,
-        "compile_seconds": compile_s,
-        "wall_seconds": wall,
-        "particle_steps_per_sec": thr,
-        "pairs_per_step": pairs,
-    }
+    frames_dir = out / "frames"
+    frames_dir.mkdir(exist_ok=True)
+    rec_pos = np.asarray(rec[0])  # (n_frames, slots, 3)
+    sop_np = np.asarray(sop)[:min(out_num, args.render_particles)]
+    rendered = 0
+    for i, frame in enumerate(rec_pos):
+        pos = frame[sop_np]
+        np.save(frames_dir / f"positions_{i:04d}.npy", pos.astype(np.float32))
+        png = str(frames_dir / f"frame_{i:04d}.png")
+        sc = sphere_cloud_scene(pos, png, workdir=frames_dir / f".pbrt_{i:04d}")
+        sc.render()  # writes scene.pbrt; renders when pbrt-v4 is installed
+        rendered += os.path.exists(png)
+    np.save(out / "final_positions.npy",
+            rec_pos[-1][np.asarray(sop)].astype(np.float32))
+    video = None
+    if rendered == len(rec_pos) and rendered > 1:
+        video = str(out / "episode.mp4")
+        if not export_mp4(str(frames_dir), video, 10, "frame_", ".png"):
+            video = None  # ffmpeg missing — PNG frames remain
+    print(f"frames: {len(rec_pos)} exported, {rendered} rendered"
+          + (f", video={video}" if video else " (pbrt-v4 not installed: "
+             "scene.pbrt files written for offline rendering)"), flush=True)
+    report.update(frames_exported=len(rec_pos), frames_rendered=rendered,
+                  video=video)
+
+    # ---- one gradient step at scale (VERDICT r2 item 6b)
+    if args.grad_steps:
+        gcfg = cfg.replace(loss_mode="final")
+        center = pts.mean(0)
+        tp = jnp.asarray((center + 1.2 * (pts - center))[None], jnp.float32)
+        tp = jnp.zeros((1, sb.n_slots, 3), jnp.float32).at[:, sop_j].set(tp)
+        tv = jnp.zeros_like(tp)
+        vg = jax.jit(jax.value_and_grad(
+            lambda xv, sc, a, b: loss_fn(xv, sc, gcfg, a, b,
+                                         n_steps=args.grad_steps)))
+        t0 = time.perf_counter()
+        loss, grad = vg(x, scene, tp, tv)
+        jax.block_until_ready(grad)
+        grad_compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        loss, grad = vg(x, scene, tp, tv)
+        jax.block_until_ready(grad)
+        grad_wall = time.perf_counter() - t0
+        gthr = n * args.grad_steps / grad_wall
+        gnorm = float(jnp.linalg.norm(grad))
+        print(f"grad step: {args.grad_steps}-step fwd+bwd in {grad_wall:.1f}s "
+              f"(compile {grad_compile_s:.1f}s) -> {gthr:.3e} p-steps/s, "
+              f"loss={float(loss):.6e} |grad|={gnorm:.3e}", flush=True)
+        report.update(grad_steps=args.grad_steps, grad_wall_seconds=grad_wall,
+                      grad_compile_seconds=grad_compile_s,
+                      grad_particle_steps_per_sec=gthr,
+                      grad_loss=float(loss), grad_norm=gnorm)
+
     (out / "report.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report), flush=True)
 
