@@ -45,6 +45,10 @@ def main():
                     help="warm-start x (slot space .npy from a prior run's "
                          "opt artifacts; the reference warm-starts from "
                          "opt/pear/x.npy the same way, sim.py:454)")
+    ap.add_argument("--eval-chunks", type=int, default=8,
+                    help="split each episode fwd+bwd into N bounded device "
+                         "programs (the axon worker watchdog kills ~60s+ "
+                         "dispatches; 8 keeps 3000-step chunks ~10s each)")
     ap.add_argument("--out", default="out/inverse100k")
     args = ap.parse_args()
 
@@ -107,7 +111,8 @@ def main():
     t0 = time.perf_counter()
     result, history = driver.optimize_lbfgs(
         scene, cfg, x0, tp, tv, opt_dir=out,
-        x_target=x_star, maxiter=args.maxiter, n_steps=args.steps)
+        x_target=x_star, maxiter=args.maxiter, n_steps=args.steps,
+        eval_chunks=args.eval_chunks)
     wall = time.perf_counter() - t0
     print(f"L-BFGS: {result.nit} iterations / {result.nfev} evals in "
           f"{wall:.0f}s — {result.message}", flush=True)

@@ -87,6 +87,7 @@ def optimize_lbfgs(
     verbose: bool = True,
     plot: bool = True,
     on_eval=None,
+    eval_chunks: int = 0,
 ):
     """scipy L-BFGS-B over the jit'd value_and_grad (sim.py:449-461 parity:
     maxiter/ftol/gtol, per-iteration x.npy + losses/distances json + plots).
@@ -103,10 +104,20 @@ def optimize_lbfgs(
     # targets ride as jit ARGUMENTS: closed-over arrays embed as HLO literal
     # constants, and at reference scale (100 frames x n_slots x 3 x 2 arrays
     # ~ 290 MB) the serialized module breaks compile transports
-    vg = jax.jit(
-        jax.value_and_grad(
-            lambda q, sc, tp_, tv_: loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps))
-    )
+    if eval_chunks and eval_chunks > 1:
+        # split each episode's fwd+bwd into bounded device programs — the
+        # axon worker's wall-clock watchdog kills single dispatches past
+        # ~60 s, which a 3000-step fwd+bwd at 100k particles exceeds
+        # (sim/rollout.py::episode_value_and_grad_chunked)
+        from ..sim.rollout import episode_value_and_grad_chunked
+
+        cvg = episode_value_and_grad_chunked(scene, cfg, eval_chunks, n_steps)
+        vg = lambda q, sc, tp_, tv_: cvg(q, tp_, tv_)
+    else:
+        vg = jax.jit(
+            jax.value_and_grad(
+                lambda q, sc, tp_, tv_: loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps))
+        )
 
     history = {"losses": [], "distances": [], "xk": []}
     state = {"last_loss": 0.0, "last_grad": np.zeros_like(x0)}

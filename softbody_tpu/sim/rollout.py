@@ -160,19 +160,13 @@ def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
     if cfg.remat:
         step_fn = jax.checkpoint(step_fn)
 
-    def body(carry, f):
-        state, acc = carry
-        state = step_fn(state, ratio)
-        frame = f + 1
-        if have_targets:
-            t_idx = jnp.clip(frame // interval - 1, 0, n_targets - 1)
-            term = frame_loss(state, target_p[t_idx], target_v[t_idx], cfg)
-            if cfg.loss_mode == "final":
-                hit = frame == n_steps
-            else:
-                hit = (frame % interval == 0) & (frame // interval <= n_targets)
-            acc = acc + jnp.where(hit, term, 0.0)
-        return (state, acc), None
+    if have_targets:
+        body = _episode_body(step_fn, ratio, target_p, target_v, cfg,
+                             n_steps, interval)
+    else:
+        def body(carry, f):
+            state, acc = carry
+            return (step_fn(state, ratio), acc), None
 
     zero = jnp.zeros((), scene.rest_position.dtype)
     if record_every:
@@ -216,6 +210,150 @@ def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
         carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
     state, acc = carry
     return acc, state, None
+
+
+def _episode_body(step_fn, ratio, tp, tv, cfg: SimConfig, n_steps, interval):
+    """Scan body over GLOBAL step indices with target-frame loss accumulation
+    (sim.py:352-361 semantics) — shared by rollout() and the chunked runner."""
+    n_targets = tp.shape[0]
+
+    def body(carry, f):
+        state, acc = carry
+        state = step_fn(state, ratio)
+        frame = f + 1
+        t_idx = jnp.clip(frame // interval - 1, 0, n_targets - 1)
+        term = frame_loss(state, tp[t_idx], tv[t_idx], cfg)
+        if cfg.loss_mode == "final":
+            hit = frame == n_steps
+        else:
+            hit = (frame % interval == 0) & (frame // interval <= n_targets)
+        acc = acc + jnp.where(hit, term, 0.0)
+        return (state, acc), None
+
+    return body
+
+
+def _chunk_primal(state, x, k0, tp, tv, scene: Scene, cfg: SimConfig,
+                  length: int, n_steps: int):
+    """One episode chunk: ``length`` steps starting at global step ``k0``.
+    Returns (state_out, chunk-loss).  Differentiable wrt (state, x)."""
+    ratio = compute_ratio(x, cfg)
+    step_fn = partial(step, scene=scene, cfg=cfg)
+    if cfg.remat:
+        step_fn = jax.checkpoint(step_fn)
+    interval = max(n_steps // tp.shape[0], 1)
+    body = _episode_body(step_fn, ratio, tp, tv, cfg, n_steps, interval)
+    zero = jnp.zeros((), scene.rest_position.dtype)
+    (state, acc), _ = jax.lax.scan(body, (state, zero),
+                                   k0 + jnp.arange(length))
+    return state, acc
+
+
+def episode_value_and_grad_chunked(scene: Scene, cfg: SimConfig,
+                                   n_chunks: int, n_steps=None):
+    """Reference-length episode gradients in BOUNDED device programs.
+
+    Mathematically identical to ``jax.value_and_grad(loss_fn)`` — the chain
+    rule is applied at chunk boundaries on the host — but each chunk's
+    forward and backward runs as its own dispatch, so no single device
+    program exceeds the worker's wall-clock watchdog (measured on the axon
+    v5e worker: ~45 s dispatches survive, ~80 s dispatches kill the worker;
+    a 3000-step fwd+bwd at 100k particles is ~80 s in one program).
+
+    Memory: only the n_chunks boundary states are kept (device-resident,
+    ~4 MB each at 100k) — the per-chunk backward relies on the per-step
+    ``jax.checkpoint`` remat like the single-dispatch path.
+
+    Returns ``f(x, target_p, target_v) -> (loss, grad)`` issuing
+    2*n_chunks + 2 dispatches.
+    """
+    import numpy as np
+
+    n_steps = cfg.frames if n_steps is None else n_steps
+    n_chunks = max(1, min(int(n_chunks), n_steps))
+    base = n_steps // n_chunks
+    sizes = [base + (1 if i < n_steps % n_chunks else 0)
+             for i in range(n_chunks)]
+    k0s = np.cumsum([0] + sizes[:-1]).tolist()
+
+    @partial(jax.jit, static_argnames=("length",))
+    def fwd_chunk(state, x, k0, tp, tv, sc, length):
+        return _chunk_primal(state, x, k0, tp, tv, sc, cfg, length, n_steps)
+
+    @partial(jax.jit, static_argnames=("length",))
+    def bwd_chunk(state, x, k0, tp, tv, sc, cot_state, length):
+        prim = lambda s, xx: _chunk_primal(s, xx, k0, tp, tv, sc, cfg,
+                                           length, n_steps)
+        (_, acc), vjp = jax.vjp(prim, state, x)
+        ds, dx = vjp((cot_state, jnp.ones((), acc.dtype)))
+        return ds, dx
+
+    @jax.jit
+    def init_fn(x, sc):
+        return initial_state(sc, compute_ratio(x, cfg), cfg)
+
+    @jax.jit
+    def init_bwd(x, sc, cot_state):
+        _, vjp = jax.vjp(
+            lambda xx: initial_state(sc, compute_ratio(xx, cfg), cfg), x)
+        (dx,) = vjp(cot_state)
+        return dx
+
+    def f(x, target_p, target_v):
+        x = jnp.asarray(x, scene.rest_position.dtype)
+        state = init_fn(x, scene)
+        states, loss = [], jnp.zeros((), scene.rest_position.dtype)
+        for k0, length in zip(k0s, sizes):
+            states.append(state)
+            state, acc = fwd_chunk(state, x, jnp.int32(k0), target_p,
+                                   target_v, scene, length=length)
+            loss = loss + acc
+        cot = jax.tree.map(jnp.zeros_like, state)
+        grad = jnp.zeros_like(x)
+        for k0, length, s_in in reversed(list(zip(k0s, sizes, states))):
+            cot, dx = bwd_chunk(s_in, x, jnp.int32(k0), target_p, target_v,
+                                scene, cot, length=length)
+            grad = grad + dx
+        grad = grad + init_bwd(x, scene, cot)
+        return loss, grad
+
+    return f
+
+
+def forward_chunked(x, scene: Scene, cfg: SimConfig, n_steps, chunk_len,
+                    record_every=None):
+    """Forward episode as a host loop of bounded dispatches (same watchdog
+    rationale as episode_value_and_grad_chunked; a 3000-step forward at 1M
+    particles is minutes in one program).  Returns (final_state, recorded
+    positions at every ``record_every`` boundary; record_every must be a
+    chunk_len multiple)."""
+    n_steps = cfg.frames if n_steps is None else n_steps
+    chunk_len = max(1, min(int(chunk_len), n_steps))
+    ratio0 = compute_ratio(jnp.asarray(x, scene.rest_position.dtype), cfg)
+    state = initial_state(scene, ratio0, cfg)
+    if record_every:
+        assert record_every % chunk_len == 0, (record_every, chunk_len)
+
+    @partial(jax.jit, static_argnames=("length",))
+    def fwd_chunk(st, xv, sc, length):
+        ratio = compute_ratio(xv, cfg)
+        step_fn = partial(step, scene=sc, cfg=cfg)
+
+        def body(s, _):
+            return step_fn(s, ratio), None
+
+        st, _ = jax.lax.scan(body, st, None, length=length)
+        return st
+
+    recorded = []
+    done = 0
+    while done < n_steps:
+        length = min(chunk_len, n_steps - done)
+        state = fwd_chunk(state, x, scene, length=length)
+        done += length
+        if record_every and (done % record_every == 0 or done == n_steps):
+            recorded.append(state.position)
+    return state, recorded
 
 
 def _remat_chunk(cfg: SimConfig, n_steps: int) -> int:
