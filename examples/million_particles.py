@@ -5,8 +5,10 @@ with reference-length rollout, a gradient step, and PBRT frame export.
 Runs the flagship sparse-pallas backend end-to-end at ~1M particles
 (procedural inflatable sphere):
 
-1. full reference-length episode (3000 steps, sim.py:63-64) in one jit'd
-   rollout, recording frames every --render-every steps;
+1. full reference-length episode (3000 steps, sim.py:63-64) as a host loop
+   of bounded jit'd scan dispatches (sim/rollout.py::forward_chunked — the
+   worker watchdog kills single ~60s+ device programs), recording frames
+   every --render-every steps;
 2. PBRT scene export of the recorded frames (sphere-cloud surface, the
    Taichi visualize path, sim_taichi.py:300-315); rendered to PNG + mp4
    offline when pbrt-v4/ffmpeg are installed, scene files otherwise;
@@ -47,6 +49,13 @@ def main():
                     help="record + export a frame every N steps (0 = final only)")
     ap.add_argument("--render-particles", type=int, default=200_000,
                     help="surface particles per exported scene")
+    ap.add_argument("--chunk-steps", type=int, default=250,
+                    help="forward steps per device dispatch (the worker "
+                         "watchdog kills ~60s+ single dispatches; a 3000-step "
+                         "forward at 1M particles is minutes in one program)")
+    ap.add_argument("--grad-chunks", type=int, default=40,
+                    help="fwd+bwd dispatches for the gradient step (each "
+                         "chunk's backward is ~3x its forward)")
     ap.add_argument("--out", default="out/million")
     args = ap.parse_args()
 
@@ -55,7 +64,8 @@ def main():
 
     from softbody_tpu import warp_parity
     from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
-    from softbody_tpu.sim.rollout import loss_fn, rollout
+    from softbody_tpu.sim.rollout import (episode_value_and_grad_chunked,
+                                          forward_chunked)
     from softbody_tpu.sim.sparse import build_sparse_scene
 
     out = Path(args.out)
@@ -92,28 +102,33 @@ def main():
     sop_j = jnp.asarray(np.asarray(sop))
     x = jnp.zeros(sb.n_slots, jnp.float32).at[sop_j].set(0.5)
 
-    # ---- full-length forward episode, frames recorded on-device
+    # ---- full-length forward episode in BOUNDED dispatches (the worker
+    # watchdog kills single device programs past ~60s; forward_chunked keeps
+    # each dispatch to --chunk-steps), frames recorded at chunk boundaries
+    chunk = max(1, min(args.chunk_steps, args.steps))
     rec_every = args.render_every or args.steps
-    if args.steps % rec_every:
-        rec_every = args.steps  # record_every must divide n_steps
-    run = jax.jit(lambda xv, sc: rollout(xv, sc, cfg, n_steps=args.steps,
-                                         record_every=rec_every)[1:])
+    if args.steps % rec_every or rec_every % chunk:
+        rec_every = args.steps  # record_every must divide steps, chunk | rec
+        chunk = min(chunk, rec_every)
 
     t0 = time.perf_counter()
-    final, rec = run(x, scene)
+    final, recorded = forward_chunked(x, scene, cfg, args.steps, chunk,
+                                      record_every=rec_every)
     jax.block_until_ready(final.position)
     compile_s = time.perf_counter() - t0
-    print(f"compile+first episode: {compile_s:.1f}s", flush=True)
+    print(f"compile+first episode: {compile_s:.1f}s "
+          f"({args.steps // chunk} dispatches)", flush=True)
 
     t0 = time.perf_counter()
-    final, rec = run(x, scene)
+    final, recorded = forward_chunked(x, scene, cfg, args.steps, chunk,
+                                      record_every=rec_every)
     jax.block_until_ready(final.position)
     wall = time.perf_counter() - t0
     thr = n * args.steps / wall
     print(f"episode: {args.steps} steps in {wall:.2f}s -> "
           f"{thr:.3e} particle-steps/s", flush=True)
     report.update(compile_seconds=compile_s, wall_seconds=wall,
-                  particle_steps_per_sec=thr)
+                  particle_steps_per_sec=thr, chunk_steps=chunk)
 
     # ---- artifacts: recorded frames -> npy + PBRT scenes (render if pbrt)
     from softbody_tpu.render.adapters import sphere_cloud_scene
@@ -121,7 +136,7 @@ def main():
 
     frames_dir = out / "frames"
     frames_dir.mkdir(exist_ok=True)
-    rec_pos = np.asarray(rec[0])  # (n_frames, slots, 3)
+    rec_pos = np.stack([np.asarray(p) for p in recorded])  # (n_frames, slots, 3)
     sop_np = np.asarray(sop)[:min(out_num, args.render_particles)]
     rendered = 0
     for i, frame in enumerate(rec_pos):
@@ -151,15 +166,16 @@ def main():
         tp = jnp.asarray((center + 1.2 * (pts - center))[None], jnp.float32)
         tp = jnp.zeros((1, sb.n_slots, 3), jnp.float32).at[:, sop_j].set(tp)
         tv = jnp.zeros_like(tp)
-        vg = jax.jit(jax.value_and_grad(
-            lambda xv, sc, a, b: loss_fn(xv, sc, gcfg, a, b,
-                                         n_steps=args.grad_steps)))
+        # chunked multi-dispatch VJP — a 3000-step fwd+bwd at 1M particles is
+        # far past the dispatch watchdog in one program (sim/rollout.py)
+        vg = episode_value_and_grad_chunked(scene, gcfg, args.grad_chunks,
+                                            n_steps=args.grad_steps)
         t0 = time.perf_counter()
-        loss, grad = vg(x, scene, tp, tv)
+        loss, grad = vg(x, tp, tv)
         jax.block_until_ready(grad)
         grad_compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        loss, grad = vg(x, scene, tp, tv)
+        loss, grad = vg(x, tp, tv)
         jax.block_until_ready(grad)
         grad_wall = time.perf_counter() - t0
         gthr = n * args.grad_steps / grad_wall
