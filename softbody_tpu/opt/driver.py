@@ -16,6 +16,7 @@ update step stays on device.
 from __future__ import annotations
 
 import json
+import time
 from pathlib import Path
 
 import numpy as np
@@ -125,11 +126,13 @@ def optimize_lbfgs(
         create_folder(opt_dir, exist_ok=True)
 
     def loss(x_opt):
+        t0 = time.perf_counter()
         val, grad = vg(jnp.asarray(x_opt, cfg.dtype), scene, tp, tv)
         state["last_loss"] = float(val)
         state["last_grad"] = np.asarray(grad, np.float64)
         if verbose:
-            print("loss: ", state["last_loss"])
+            print(f"loss:  {state['last_loss']}   "
+                  f"[eval {time.perf_counter() - t0:.1f}s]")
         if on_eval is not None:
             on_eval(np.asarray(x_opt))
         return state["last_loss"]
