@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
     ap.add_argument("--layout", choices=["sparse", "varcol", "cells"],
                     default="sparse")
-    ap.add_argument("--rows", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=64)
     ap.add_argument("--max-buckets", type=int, default=8)
     ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",

@@ -130,7 +130,7 @@ def build_sparse_scene(
     points: np.ndarray,
     cfg: SimConfig,
     out_num: int | None = None,
-    rows: int = 32,
+    rows: int = 64,
     max_buckets: int = 8,
     dirichlet_mask: np.ndarray | None = None,
     external_force: np.ndarray | None = None,

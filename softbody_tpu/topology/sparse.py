@@ -110,7 +110,7 @@ def _bucket_boundaries(sizes: np.ndarray, counts: np.ndarray, max_buckets: int):
 def build_sparse_layout(
     rest: np.ndarray,
     support_radius: float,
-    rows: int = 32,
+    rows: int = 64,
     max_buckets: int = 8,
     pad_groups: int = 16,
     cell_scale: float = 1.0,

@@ -1,0 +1,71 @@
+"""Drift policy for the bf16 pair-slab storage (cfg.pair_dtype="bfloat16").
+
+The S|R pair operand slab travels HBM->VMEM at half the bytes and upcasts
+once in-kernel; ALL pair math stays f32 (ops/pallas/pair_kernels.py).  The
+storage rounding perturbs forces ~1e-3 relative, so bf16 is an opt-in for
+the CLI parity presets — but it is the bench.py flagship default, and this
+test is the bound that justifies it: short-horizon trajectories stay within
+a small relative envelope of the f32 path and the episode gradient keeps
+direction (cosine ~ 1), so L-BFGS sees the same descent landscape.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from softbody_tpu import warp_parity
+from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+from softbody_tpu.sim.rollout import rollout, value_and_grad_fn
+from softbody_tpu.sim.sparse import build_sparse_scene
+
+N_STEPS = 24
+
+
+@pytest.fixture(scope="module")
+def pair():
+    pts, out_num = inflatable_sphere(n_outer=220, radius=0.05)
+    base = warp_parity().replace(
+        h=suggest_h(pts, 16), dtype="float32", dt=1e-6, target_frames=4,
+        frames=N_STEPS, backend="pallas")
+    scenes = {}
+    for pd in ("float32", "bfloat16"):
+        cfg = base.replace(pair_dtype=pd)
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+        scenes[pd] = (cfg, scene)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=scenes["float32"][1].rest_position.shape[0])
+                    * 0.4, jnp.float32)
+    return scenes, x
+
+
+def test_bf16_trajectory_drift_bounded(pair):
+    scenes, x = pair
+    finals = {}
+    for pd, (cfg, scene) in scenes.items():
+        _, state, _ = jax.jit(
+            lambda xv, sc, cfg=cfg: rollout(xv, sc, cfg, n_steps=N_STEPS))(
+            x, scene)
+        finals[pd] = np.asarray(state.position)
+    ref, bf = finals["float32"], finals["bfloat16"]
+    # relative to the actual displacement magnitude, not absolute coords
+    disp = np.abs(ref - np.asarray(scenes["float32"][1].rest_position)).max()
+    drift = np.abs(bf - ref).max()
+    assert drift <= 0.05 * max(disp, 1e-12), (drift, disp)
+
+
+def test_bf16_gradient_keeps_direction(pair):
+    scenes, x = pair
+    grads = {}
+    for pd, (cfg, scene) in scenes.items():
+        _, _, rec = jax.jit(
+            lambda xv, sc, cfg=cfg: rollout(
+                xv, sc, cfg, n_steps=N_STEPS, record_every=N_STEPS // 4))(
+            x * 1.3, scene)
+        vg = value_and_grad_fn(scene, cfg, n_steps=N_STEPS)
+        _, g = vg(x, rec[0], rec[1])
+        grads[pd] = np.asarray(g, np.float64)
+    a, b = grads["float32"], grads["bfloat16"]
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99, cos
+    assert np.linalg.norm(b) == pytest.approx(np.linalg.norm(a), rel=0.05)
