@@ -7,7 +7,12 @@ target is 1e8 particle-steps/sec/chip at 100k particles on v5e.
 ``vs_baseline`` is measured_value / 1e8.
 
 Prints exactly ONE JSON line:
-  {"metric": "particle_steps_per_sec", "value": N, "unit": "particle*steps/s", "vs_baseline": R}
+  {"metric": "particle_steps_per_sec", "value": N, "unit": "particle*steps/s",
+   "vs_baseline": R, "fwdbwd_value": M, "fwdbwd_vs_baseline": Q}
+
+The fwdbwd_* fields pin the gradient-path number the actual workload consumes
+(each L-BFGS eval is a full episode forward+backward, sim.py:454); --grad
+benchmarks ONLY that path, --fwd-only skips it.
 """
 
 from __future__ import annotations
@@ -41,7 +46,11 @@ def main():
     ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",
                     help="pair_def_grad semantics: warp=F_i (flagship), taichi=F_j (separable)")
-    ap.add_argument("--grad", action="store_true", help="benchmark value_and_grad instead of forward")
+    ap.add_argument("--grad", action="store_true", help="benchmark ONLY value_and_grad")
+    ap.add_argument("--fwd-only", action="store_true", help="skip the fwd+bwd measurement")
+    ap.add_argument("--grad-steps", type=int, default=500,
+                    help="episode length for the fwd+bwd measurement (bounded "
+                         "so the single dispatch stays under the worker watchdog)")
     ap.add_argument("--pair-dtype", choices=["float32", "bfloat16"], default="float32")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
@@ -109,7 +118,21 @@ def main():
 
     x = jnp.zeros(n_state, dtype=cfg.dtype)
 
-    if args.grad:
+    def measure(execute, steps, tag):
+        t0 = time.perf_counter()
+        execute()
+        log(f"{tag} compile+first run: {time.perf_counter()-t0:.1f}s")
+        best = float("inf")
+        for r in range(args.repeats):
+            t0 = time.perf_counter()
+            execute()
+            dt_wall = time.perf_counter() - t0
+            best = min(best, dt_wall)
+            log(f"{tag} repeat {r}: {dt_wall:.3f}s -> "
+                f"{n * steps / dt_wall:.3e} particle-steps/s")
+        return n * steps / best
+
+    def grad_execute_fn(steps):
         base = np.asarray(scene.rest_position)
         tp = jnp.asarray(np.stack([base, base]), dtype=cfg.dtype)
         tv = jnp.zeros_like(tp)
@@ -117,7 +140,7 @@ def main():
         @jax.jit
         def run(xv, sc):
             return jax.value_and_grad(
-                lambda q: loss_fn(q, sc, cfg, tp, tv, n_steps=args.steps)
+                lambda q: loss_fn(q, sc, cfg, tp, tv, n_steps=steps)
             )(xv)
 
         def execute():
@@ -125,39 +148,42 @@ def main():
             # force a real D2H transfer: on the axon tunnel block_until_ready
             # alone can return before execution completes (async stream)
             return float(np.asarray(grad[0])) + float(loss)
-        metric_name = "particle_steps_per_sec_fwdbwd"
-    else:
 
-        @jax.jit
-        def run(xv, sc):
-            _, final, _ = rollout(xv, sc, cfg, n_steps=args.steps)
-            return final
+        return execute
 
-        def execute():
-            final = run(x, scene)
-            # force a real D2H transfer (see grad branch note)
-            return float(np.asarray(final.position[0, 0]))
-        metric_name = "particle_steps_per_sec"
+    if args.grad:
+        value = measure(grad_execute_fn(args.steps), args.steps, "fwd+bwd")
+        print(json.dumps({
+            "metric": "particle_steps_per_sec_fwdbwd",
+            "value": value,
+            "unit": "particle*steps/s",
+            "vs_baseline": value / NORTH_STAR,
+        }))
+        return
 
-    t0 = time.perf_counter()
-    execute()
-    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+    @jax.jit
+    def run_fwd(xv, sc):
+        _, final, _ = rollout(xv, sc, cfg, n_steps=args.steps)
+        return final
 
-    best = float("inf")
-    for r in range(args.repeats):
-        t0 = time.perf_counter()
-        execute()
-        dt_wall = time.perf_counter() - t0
-        best = min(best, dt_wall)
-        log(f"repeat {r}: {dt_wall:.3f}s -> {n * args.steps / dt_wall:.3e} particle-steps/s")
+    def fwd_execute():
+        final = run_fwd(x, scene)
+        # force a real D2H transfer (see grad branch note)
+        return float(np.asarray(final.position[0, 0]))
 
-    value = n * args.steps / best
-    print(json.dumps({
-        "metric": metric_name,
+    value = measure(fwd_execute, args.steps, "fwd")
+    out = {
+        "metric": "particle_steps_per_sec",
         "value": value,
         "unit": "particle*steps/s",
         "vs_baseline": value / NORTH_STAR,
-    }))
+    }
+    if not args.fwd_only:
+        gv = measure(grad_execute_fn(args.grad_steps), args.grad_steps,
+                     "fwd+bwd")
+        out["fwdbwd_value"] = gv
+        out["fwdbwd_vs_baseline"] = gv / NORTH_STAR
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -115,10 +115,21 @@ def optimize_lbfgs(
         cvg = episode_value_and_grad_chunked(scene, cfg, eval_chunks, n_steps)
         vg = lambda q, sc, tp_, tv_: cvg(q, tp_, tv_)
     else:
-        vg = jax.jit(
-            jax.value_and_grad(
-                lambda q, sc, tp_, tv_: loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps))
-        )
+        # compensated loss pair -> host f64: scipy's f64 line search must see
+        # reductions below the f32 quantum of the total (the inverse100k
+        # stall: bit-identical f32 evals read as zero reduction)
+        from ..sim.rollout import rollout as _rollout
+
+        def _floss(q, sc, tp_, tv_):
+            (hi, lo), _, _ = _rollout(q, sc, cfg, tp_, tv_, n_steps=n_steps,
+                                      acc_pair=True)
+            return hi, lo
+
+        jvg = jax.jit(jax.value_and_grad(_floss, has_aux=True))
+
+        def vg(q, sc, tp_, tv_):
+            (hi, lo), grad = jvg(q, sc, tp_, tv_)
+            return float(hi) + float(lo), grad
 
     history = {"losses": [], "distances": [], "xk": []}
     state = {"last_loss": 0.0, "last_grad": np.zeros_like(x0)}

@@ -136,13 +136,50 @@ def frame_loss(state: ParticleState, tp, tv, cfg: SimConfig):
     return jnp.sum(dp * dp) + w * jnp.sum(dv * dv)
 
 
+# ---- compensated loss accumulation -------------------------------------------
+# The episode loss is a sum of ~100 f32 frame terms.  Accumulated naively in
+# f32, the total (~46 at reference scale) has a quantum of ~4e-6 — scipy's f64
+# L-BFGS-B line search then sees bit-identical f for any step whose true
+# improvement is smaller, reads zero reduction, and aborts after one iteration
+# (the out/inverse100k stall: 13 consecutive bit-identical evals in run.log).
+# A Neumaier two-float carry keeps the rounding residual, restoring ~per-term
+# resolution (~3e-8 at loss 46) with two extra scalar ops per step and no f64
+# on device.  The gradient is seeded through the hi term only, so grads are
+# bit-identical to the plain f32 accumulator's.
+
+def _acc_init(dtype):
+    z = jnp.zeros((), dtype)
+    return (z, z)
+
+
+def _acc_add(acc, term):
+    hi, lo = acc
+    t = hi + term
+    lo = lo + jnp.where(
+        jnp.abs(hi) >= jnp.abs(term), (hi - t) + term, (term - t) + hi
+    )
+    return (t, lo)
+
+
+def acc_scalar(acc):
+    """Collapse the (hi, lo) pair to a device scalar (legacy f32 resolution)."""
+    return acc[0] + acc[1]
+
+
+def acc_float(acc) -> float:
+    """Collapse the (hi, lo) pair on host in f64 — full compensated precision."""
+    return float(acc[0]) + float(acc[1])
+
+
 def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
-            n_steps=None, record_every: int | None = None):
+            n_steps=None, record_every: int | None = None, acc_pair=False):
     """Run an episode.  Differentiable wrt ``x`` (and the scene pytree).
 
     Returns (loss, final_state, recorded) where ``recorded`` is
     (positions, velocities) stacked every ``record_every`` steps (or None).
     If targets are None the loss is 0 (pure forward / target generation).
+    ``acc_pair=True`` returns the loss as the Neumaier (hi, lo) pair instead
+    of a collapsed f32 scalar (see _acc_add above).
     """
     n_steps = cfg.frames if n_steps is None else n_steps
     ratio = compute_ratio(x, cfg)
@@ -168,7 +205,7 @@ def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
             state, acc = carry
             return (step_fn(state, ratio), acc), None
 
-    zero = jnp.zeros((), scene.rest_position.dtype)
+    zero = _acc_init(scene.rest_position.dtype)
     if record_every:
         # scan in chunks, recording the state at the end of each chunk
         assert n_steps % record_every == 0
@@ -182,7 +219,7 @@ def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
         (state, acc), rec = jax.lax.scan(
             chunk, (state0, zero), jnp.arange(n_steps // record_every)
         )
-        return acc, state, rec
+        return (acc if acc_pair else acc_scalar(acc)), state, rec
 
     carry = (state0, zero)
     chunk_len = _remat_chunk(cfg, n_steps)
@@ -209,7 +246,7 @@ def rollout(x, scene: Scene, cfg: SimConfig, target_p=None, target_v=None,
     else:
         carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
     state, acc = carry
-    return acc, state, None
+    return (acc if acc_pair else acc_scalar(acc)), state, None
 
 
 def _episode_body(step_fn, ratio, tp, tv, cfg: SimConfig, n_steps, interval):
@@ -227,7 +264,7 @@ def _episode_body(step_fn, ratio, tp, tv, cfg: SimConfig, n_steps, interval):
             hit = frame == n_steps
         else:
             hit = (frame % interval == 0) & (frame // interval <= n_targets)
-        acc = acc + jnp.where(hit, term, 0.0)
+        acc = _acc_add(acc, jnp.where(hit, term, 0.0))
         return (state, acc), None
 
     return body
@@ -236,14 +273,15 @@ def _episode_body(step_fn, ratio, tp, tv, cfg: SimConfig, n_steps, interval):
 def _chunk_primal(state, x, k0, tp, tv, scene: Scene, cfg: SimConfig,
                   length: int, n_steps: int):
     """One episode chunk: ``length`` steps starting at global step ``k0``.
-    Returns (state_out, chunk-loss).  Differentiable wrt (state, x)."""
+    Returns (state_out, chunk-loss (hi, lo) pair).  Differentiable wrt
+    (state, x)."""
     ratio = compute_ratio(x, cfg)
     step_fn = partial(step, scene=scene, cfg=cfg)
     if cfg.remat:
         step_fn = jax.checkpoint(step_fn)
     interval = max(n_steps // tp.shape[0], 1)
     body = _episode_body(step_fn, ratio, tp, tv, cfg, n_steps, interval)
-    zero = jnp.zeros((), scene.rest_position.dtype)
+    zero = _acc_init(scene.rest_position.dtype)
     (state, acc), _ = jax.lax.scan(body, (state, zero),
                                    k0 + jnp.arange(length))
     return state, acc
@@ -285,7 +323,10 @@ def episode_value_and_grad_chunked(scene: Scene, cfg: SimConfig,
         prim = lambda s, xx: _chunk_primal(s, xx, k0, tp, tv, sc, cfg,
                                            length, n_steps)
         (_, acc), vjp = jax.vjp(prim, state, x)
-        ds, dx = vjp((cot_state, jnp.ones((), acc.dtype)))
+        # seed the hi accumulator only: the lo (compensation) term is a
+        # rounding residual, not part of the mathematical loss
+        ds, dx = vjp((cot_state,
+                      (jnp.ones((), acc[0].dtype), jnp.zeros((), acc[1].dtype))))
         return ds, dx
 
     @jax.jit
@@ -302,12 +343,12 @@ def episode_value_and_grad_chunked(scene: Scene, cfg: SimConfig,
     def f(x, target_p, target_v):
         x = jnp.asarray(x, scene.rest_position.dtype)
         state = init_fn(x, scene)
-        states, loss = [], jnp.zeros((), scene.rest_position.dtype)
+        states, loss = [], 0.0  # host f64: keeps the compensated precision
         for k0, length in zip(k0s, sizes):
             states.append(state)
             state, acc = fwd_chunk(state, x, jnp.int32(k0), target_p,
                                    target_v, scene, length=length)
-            loss = loss + acc
+            loss = loss + acc_float(acc)
         cot = jax.tree.map(jnp.zeros_like, state)
         grad = jnp.zeros_like(x)
         for k0, length, s_in in reversed(list(zip(k0s, sizes, states))):
@@ -374,9 +415,19 @@ def loss_fn(x, scene: Scene, cfg: SimConfig, target_p, target_v, n_steps=None):
 
 
 def value_and_grad_fn(scene: Scene, cfg: SimConfig, n_steps=None):
-    """jit'd (loss, dloss/dx) closure — replaces diff_sim + tape.backward
-    (sim.py:341-372)."""
+    """(loss, dloss/dx) closure — replaces diff_sim + tape.backward
+    (sim.py:341-372).  The loss comes back as a host float combining the
+    compensated (hi, lo) accumulator in f64 — resolution ~per-frame-term ulp
+    instead of the f32 quantum of the total (see _acc_add)."""
     def f(x, target_p, target_v):
-        return loss_fn(x, scene, cfg, target_p, target_v, n_steps=n_steps)
+        (hi, lo), _, _ = rollout(x, scene, cfg, target_p, target_v,
+                                 n_steps=n_steps, acc_pair=True)
+        return hi, lo
 
-    return jax.jit(jax.value_and_grad(f))
+    vg = jax.jit(jax.value_and_grad(f, has_aux=True))
+
+    def g(x, target_p, target_v):
+        (hi, lo), grad = vg(x, target_p, target_v)
+        return float(hi) + float(lo), grad
+
+    return g
