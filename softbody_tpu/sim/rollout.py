@@ -297,6 +297,9 @@ def episode_value_and_grad_chunked(scene: Scene, cfg: SimConfig,
     program exceeds the worker's wall-clock watchdog (measured on the axon
     v5e worker: ~45 s dispatches survive, ~80 s dispatches kill the worker;
     a 3000-step fwd+bwd at 100k particles is ~80 s in one program).
+    The returned loss is a HOST f64 float combining each chunk's compensated
+    (hi, lo) accumulator — resolution ~3e-8 at loss ~46 instead of the f32
+    quantum ~4e-6 (the round-3 line-search plateau).
 
     Memory: only the n_chunks boundary states are kept (device-resident,
     ~4 MB each at 100k) — the per-chunk backward relies on the per-step

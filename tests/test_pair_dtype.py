@@ -1,12 +1,21 @@
 """Drift policy for the bf16 pair-slab storage (cfg.pair_dtype="bfloat16").
 
 The S|R pair operand slab travels HBM->VMEM at half the bytes and upcasts
-once in-kernel; ALL pair math stays f32 (ops/pallas/pair_kernels.py).  The
-storage rounding perturbs forces ~1e-3 relative, so bf16 is an opt-in for
-the CLI parity presets — but it is the bench.py flagship default, and this
-test is the bound that justifies it: short-horizon trajectories stay within
-a small relative envelope of the f32 path and the episode gradient keeps
-direction (cosine ~ 1), so L-BFGS sees the same descent landscape.
+once in-kernel; ALL pair math stays f32 (ops/pallas/pair_kernels.py).
+
+POLICY (decided round 4): bf16 is OPT-IN everywhere — bench.py and the CLI
+default to pair_dtype=float32.  The measured forward win is +3.2% (PERF_NOTES
+round-3 sweep), but the storage rounding perturbs forces ~1e-3 relative, and
+the round-4 landscape probes (tools/probe_landscape.py) showed the episode
+loss is ALREADY noise-limited by perturbation amplification over 3000 steps;
+adding bf16 force noise directly raises that floor against the inverse-design
+workload's line search.  +3.2% forward does not buy back a degraded gradient
+landscape, so f32 stays the flagship default.
+
+This test is the guard that keeps the opt-in usable: short-horizon
+trajectories stay within a small relative envelope of the f32 path and the
+episode gradient keeps direction (measured cosine ~0.98 under the v4
+lane-major backward; bound set just below at 0.97).
 """
 
 import numpy as np
@@ -70,6 +79,7 @@ def test_bf16_gradient_keeps_direction(pair):
     # guard against catastrophic breakage of the opt-in bf16 storage mode,
     # not exact agreement: bf16 pair slabs carry ~0.4% force noise and the
     # 24-step VJP amplifies it (measured cos ~0.98 under the v4 lane-major
-    # backward; was ~0.99 under v2)
-    assert cos > 0.95, cos
+    # backward — v4 reorders the backward reductions vs v2's ~0.99; bound
+    # sits just below the measured value per ADVICE r3)
+    assert cos > 0.97, cos
     assert np.linalg.norm(b) == pytest.approx(np.linalg.norm(a), rel=0.10)

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--alpha-min", type=float, default=1e-7)
     ap.add_argument("--alpha-max", type=float, default=1.0)
     ap.add_argument("--per-decade", type=int, default=3)
+    ap.add_argument("--dt", type=float, default=1e-6)
+    ap.add_argument("--integrator", default="trapezoidal",
+                    choices=["trapezoidal", "symplectic"])
+    ap.add_argument("--damping", type=float, default=None)
     args = ap.parse_args()
 
     import jax
@@ -60,9 +64,14 @@ def main():
         n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
     pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
     cfg = warp_parity().replace(
-        h=suggest_h(pts, 32), dtype="float32", dt=1e-6,
+        h=suggest_h(pts, 32), dtype="float32", dt=args.dt,
+        integrator=args.integrator,
         frames=args.steps, target_frames=args.target_frames,
         backend="pallas")
+    if args.damping is not None:
+        cfg = cfg.replace(damping=args.damping)
+    print(f"cfg: dt={cfg.dt:g} integrator={cfg.integrator} "
+          f"damping={cfg.damping:g} h={cfg.h:g}", flush=True)
     t0 = time.perf_counter()
     scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
     sb = scene.blocked

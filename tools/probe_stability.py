@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Is the forward simulation STABLE?  A quiescent body (v0 = 0, no external
+force, no collision contact) must stay at rest; any growing displacement is
+numerical instability (zero-energy / negative-stiffness SPH modes or CFL
+violation), which turns the inverse-design landscape into amplified noise
+(tools/probe_landscape.py measured +-0.5 loss jitter at ANY perturbation
+size — this probe isolates the mechanism).
+
+Usage: python tools/probe_stability.py [--particles 20000] [--steps 3000]
+           [--dt 1e-6] [--integrator trapezoidal] [--damping ...] [--quiet 0/1]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from softbody_tpu.utils.hostmem import enable_compilation_cache, enable_heap_reuse
+
+    enable_heap_reuse()
+    enable_compilation_cache()
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=20_000)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--dt", type=float, default=1e-6)
+    ap.add_argument("--integrator", default="trapezoidal",
+                    choices=["trapezoidal", "symplectic"])
+    ap.add_argument("--damping", type=float, default=None)
+    ap.add_argument("--quiet", type=int, default=1,
+                    help="1: v0=0, ext=0 (pure stability); 0: warp defaults")
+    ap.add_argument("--x", default="zero", choices=["zero", "star"],
+                    help="inflation field: zero (ratio 0.5) or radial bands")
+    ap.add_argument("--record-every", type=int, default=250)
+    ap.add_argument("--mass", type=float, default=None)
+    ap.add_argument("--youngs", type=float, default=None)
+    ap.add_argument("--scale-a", type=float, default=None)
+    ap.add_argument("--scale-b", type=float, default=None)
+    ap.add_argument("--pair-def-grad", default=None, choices=[None, "i", "j"])
+    ap.add_argument("--f64", action="store_true",
+                    help="CPU f64 gather backend: separates discretization "
+                         "instability (math) from f32 rounding seeds")
+    args = ap.parse_args()
+
+    if args.f64:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.f64:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from softbody_tpu import build_scene, warp_parity
+    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.sim.rollout import rollout
+    from softbody_tpu.sim.sparse import build_sparse_scene
+
+    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
+    a = (len(probe) - 1000) / 1000**1.5
+    n_outer = 1000
+    for _ in range(40):
+        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
+    pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
+    cfg = warp_parity().replace(
+        h=suggest_h(pts, 32),
+        dtype="float64" if args.f64 else "float32", dt=args.dt,
+        integrator=args.integrator,
+        frames=args.steps, target_frames=100,
+        backend="gather" if args.f64 else "pallas")
+    if args.damping is not None:
+        cfg = cfg.replace(damping=args.damping)
+    if args.mass is not None:
+        cfg = cfg.replace(mass=args.mass)
+    if args.youngs is not None:
+        cfg = cfg.replace(youngs_modulus=args.youngs)
+    if args.scale_a is not None:
+        cfg = cfg.replace(scale_a=args.scale_a)
+    if args.scale_b is not None:
+        cfg = cfg.replace(scale_b=args.scale_b)
+    if args.pair_def_grad is not None:
+        cfg = cfg.replace(pair_def_grad=args.pair_def_grad)
+    if args.quiet:
+        cfg = cfg.replace(initial_velocity=(0.0, 0.0, 0.0),
+                          external_force=(0.0, 0.0, 0.0))
+    print(f"cfg: dt={cfg.dt:g} integ={cfg.integrator} damping={cfg.damping:g} "
+          f"h={cfg.h:g} mass={cfg.mass:g} E={cfg.youngs_modulus:g} "
+          f"scale=({cfg.scale_a:g},{cfg.scale_b:g}) pdg={cfg.pair_def_grad} "
+          f"quiet={args.quiet}", flush=True)
+    t0 = time.perf_counter()
+    if args.f64:
+        scene = build_scene(pts, cfg, out_num=out_num)
+        sop = np.arange(len(pts))
+        n_slots = len(pts)
+    else:
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+        n_slots = scene.blocked.n_slots
+    print(f"scene: N={len(pts)} slots={n_slots} "
+          f"build={time.perf_counter()-t0:.1f}s", flush=True)
+
+    if args.x == "star":
+        r = np.linalg.norm(pts - pts.mean(0), axis=1)
+        xp = np.sin(r / r.max() * 3.0 * np.pi)
+    else:
+        xp = np.zeros(len(pts))
+    x = np.zeros(n_slots)
+    x[sop] = xp
+
+    t0 = time.perf_counter()
+    _, final, rec = jax.jit(lambda xv, sc: rollout(
+        xv, sc, cfg, n_steps=args.steps, record_every=args.record_every))(
+        jnp.asarray(x, cfg.dtype), scene)
+    pos = np.asarray(jax.block_until_ready(rec[0]))   # (k, n_slots, 3)
+    vel = np.asarray(rec[1])
+    print(f"rollout in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    rest = np.asarray(scene.rest_position)
+    sl = np.asarray(sop)
+    for k in range(pos.shape[0]):
+        step_i = (k + 1) * args.record_every
+        d = pos[k][sl] - rest[sl]
+        # subtract the rigid translation (quiet=0 runs fall uniformly)
+        d = d - d.mean(axis=0, keepdims=True)
+        v = vel[k][sl]
+        v = v - v.mean(axis=0, keepdims=True)
+        print(f"step {step_i:5d}: max|disp-rigid|={np.abs(d).max():.3e} "
+              f"rms={np.sqrt((d*d).mean()):.3e} "
+              f"max|v-rigid|={np.abs(v).max():.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
