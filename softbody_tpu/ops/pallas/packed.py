@@ -330,19 +330,23 @@ moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)
 
 
 # ---------------------------------------------- moments (K1, v4 lane-major)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def moments_packed_v4(restT_rows, static_slab, pos_packed, gidx8, h,
-                      interpret=False):
-    """Raw A/Y moment dots, LANE-MAJOR output ayT (18, t*rows): row 3b+a is
-    the [A | Y] component in the transposed layout (ayT[3b+a] == the old
-    ay[:, 3b+a] column).  pos_packed: the (n_rows, 64) packed position source
-    (pack_components, 8 f/slot).  Callers subtract the static-rowsum
-    correction in XLA (see elastic_forces_sparse)."""
-    return _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h,
-                           interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def moments_packed_v4(restT_rows, static_slab, pos_packed, posT_rows, gidx8,
+                      h, interpret=False):
+    """CENTERED A/Y moments, LANE-MAJOR output ayT (18, t*rows): row 3b+a is
+    the FINAL [A | Y] component in the transposed layout (no -pos_i * rowsum
+    correction left for the caller — it happens in-kernel against a per-tile
+    shift; see pair_kernels._moments_kernel_v4).
+
+    pos_packed: the (n_rows, 64) packed position source (pack_components,
+    8 f/slot).  posT_rows: (3, t*rows) lane-major positions of the tile rows
+    (the compact component stack — pack_components' intermediate)."""
+    return _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
+                           gidx8, h, interpret)
 
 
-def _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h, interpret):
+def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows, gidx8, h,
+                    interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -356,8 +360,10 @@ def _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h, interpret):
         pad = lambda a: jnp.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1))
         restT_p, static_p, pos_p = (
             pad(restT_rows), pad(static_slab), pad(pos_slabT))
+        prow_p = jnp.pad(posT_rows, ((0, 0), (0, extra * rows)))
     else:
-        restT_p, static_p, pos_p = restT_rows, static_slab, pos_slabT
+        restT_p, static_p, pos_p, prow_p = (
+            restT_rows, static_slab, pos_slabT, posT_rows)
     kernel = functools.partial(pk._moments_kernel_v4, h=h, tb=tb)
     out = pl.pallas_call(
         kernel,
@@ -369,24 +375,27 @@ def _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 3, slab), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((18, tb * rows), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((18, t_pad * rows), restT_rows.dtype),
         interpret=pk._interpret_default() if interpret is None else interpret,
-    )(restT_p, static_p, pos_p)
+    )(restT_p, static_p, pos_p, prow_p)
     return out[:, :t * rows]
 
 
-def _moments_v4_vjp_fwd(restT_rows, static_slab, pos_packed, gidx8, h,
-                        interpret):
-    out = _moments_v4_fwd(restT_rows, static_slab, pos_packed, gidx8, h,
-                          interpret)
+def _moments_v4_vjp_fwd(restT_rows, static_slab, pos_packed, posT_rows,
+                        gidx8, h, interpret):
+    out = _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
+                          gidx8, h, interpret)
     return out, (restT_rows, static_slab, gidx8, pos_packed.shape[0])
 
 
 def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
-    """dayT (18, chunk*rows) -> dpsT (chunk, 3, slab) via the v4 bwd kernel."""
+    """dayT (18, chunk*rows) -> (dpsT (chunk, 3, slab), dprowT (3, chunk*rows))
+    via the v4 bwd kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -402,7 +411,7 @@ def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
     else:
         restT_p, static_p, dayT_p = restT_rows, static_slab, dayT
     kernel = functools.partial(pk._moments_bwd_kernel_v4, h=h, tb=tb)
-    dps = pl.pallas_call(
+    dps, dprowT = pl.pallas_call(
         kernel,
         grid=(t_pad // tb,),
         in_specs=[
@@ -413,13 +422,20 @@ def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
             pl.BlockSpec((18, tb * rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, 3, slab), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 3, slab), dayT.dtype),
+        out_specs=[
+            pl.BlockSpec((tb, 3, slab), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, 3, slab), dayT.dtype),
+            jax.ShapeDtypeStruct((3, t_pad * rows), dayT.dtype),
+        ],
         scratch_shapes=[pltpu.VMEM((3, 6 * rows), dayT.dtype)],
         interpret=pk._interpret_default() if interpret is None else interpret,
     )(restT_p, static_p, dayT_p)
-    return dps[:t]
+    return dps[:t], dprowT[:, :t * rows]
 
 
 def _moments_v4_vjp_bwd(h, interpret, res, dayT):
@@ -444,12 +460,15 @@ def _moments_v4_vjp_bwd(h, interpret, res, dayT):
 
     def scan_body(acc, args):
         rr, st, gi, day_c = args
-        dpsT_c = _moments_v4_bwd_impl(rr, st, day_c, h, interpret)
-        return acc + scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8), None
+        dpsT_c, dprowT_c = _moments_v4_bwd_impl(rr, st, day_c, h, interpret)
+        return (acc + scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
+                dprowT_c)
 
-    acc, _ = jax.lax.scan(
+    acc, dprow_st = jax.lax.scan(
         scan_body, jnp.zeros((n_rows_src, 64), dayT.dtype), stacked)
-    return (None, None, acc, None)
+    m = t * rows
+    dprowT = jnp.transpose(dprow_st, (1, 0, 2)).reshape(3, t_pad * rows)[:, :m]
+    return (None, None, acc, dprowT, None)
 
 
 moments_packed_v4.defvjp(_moments_v4_vjp_fwd, _moments_v4_vjp_bwd)

@@ -188,27 +188,60 @@ def _pair_coeffs_g(restT_rows, restT_slab, h):
     return dx, gfac
 
 
-def _dot(a, b):
+# In-kernel matmul precision.  The TPU MXU computes f32 dot_generals at
+# Precision.DEFAULT as a SINGLE bf16 pass (~0.4% relative error).  Measured
+# consequence (tools/probe_stability.py, round 4): the moment dots contract
+# ABSOLUTE positions (~35x the centered pair magnitude), so bf16 dot noise
+# put ~10% relative error on A_pq; through the 100x inflation stiffness scale
+# that made a QUIESCENT 20k body blow up to ~40 m/s rattle within 3000 steps
+# and turned the inverse-design landscape into +-1% noise (the round-3 L-BFGS
+# stall).  HIGHEST (true f32, 6 bf16 passes) measured 50x lower quiet-state
+# noise growth; the pair kernels are VPU/staging-bound so the extra MXU
+# passes are cheap (see PERF_NOTES round-4).
+def _prec(name: str, default: str):
+    val = _os.environ.get(name, _os.environ.get("SOFTBODY_DOT_PRECISION",
+                                                default))
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[val]
+
+
+# K1 (moments) contracts ABSOLUTE positions whose magnitude is ~35x the
+# centered pair scale, so dot rounding is amplified 35x relative to the
+# result; K2 (forces) contracts O(pair-scale) factors.  HIGHEST = true f32
+# (6 bf16 MXU passes), HIGH = 3 passes (~5e-7 relative), DEFAULT = 1 bf16
+# pass (~4e-3 relative — measured to destabilize the episode, see module
+# note above _DOT_PREC_K1).
+_DOT_PREC_K1 = _prec("SOFTBODY_DOT_PRECISION_K1", "highest")
+_DOT_PREC_K2 = _prec("SOFTBODY_DOT_PRECISION_K2", "highest")
+
+
+def _dot(a, b, precision=None):
     """(m, S) @ (S, n)."""
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype,
+        precision=precision or _DOT_PREC_K1,
     )
 
 
-def _dot_t(a, bT):
+def _dot_t(a, bT, precision=None):
     """(m, S) @ (n, S)^T -> (m, n): transposed-RHS matmul (contract lanes of
     both).  Mosaic lowers this natively — it lets slab operands stay
     lane-major (minor dim = slab), avoiding the 8-16x HBM retiling that
     (slab, n<128)-shaped pallas operands pay."""
     return jax.lax.dot_general(
-        a, bT, (((1,), (1,)), ((), ())), preferred_element_type=a.dtype
+        a, bT, (((1,), (1,)), ((), ())), preferred_element_type=a.dtype,
+        precision=precision or _DOT_PREC_K1,
     )
 
 
-def _dot_rows(a, b):
+def _dot_rows(a, b, precision=None):
     """Contract the ROWS axis: (rows, S) x (rows, F) -> (S, F)."""
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=a.dtype
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=a.dtype,
+        precision=precision or _DOT_PREC_K1,
     )
 
 
@@ -431,15 +464,25 @@ moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 # ------------------------------------------------- moments (K1, v4 lane-major)
 def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
-                       ayT_ref, *, h, tb):
-    """K1 with a LANE-MAJOR (18, tb*rows) output.
+                       posT_rows_ref, ayT_ref, *, h, tb):
+    """K1 with a LANE-MAJOR (18, tb*rows) output, CENTERED in-kernel.
 
-    Same raw moment dots as :func:`_moments_kernel`, but the MXU contraction
-    runs transposed — dotsT = pos_slabT @ lhs^T gives (3, 6*rows) — and the
-    output row 3*blk + a is the (1, rows) lane slice dotsT[a, blk*rows:...].
-    Kills the (rows, 18) output's 7.1x T(8,128) lane padding (HBM write +
-    per-tile stage + the mid-section's strided column reads all shrink to the
-    compact (18, m) form, whose component extraction is CONTIGUOUS rows).
+    The MXU contraction runs transposed — dotsT = [pos - c; 1] @ lhs^T gives
+    (4, 6*rows) — and the output row 3*blk + a is the (1, rows) lane slice of
+    the CENTERED moment  dots[a] - (pos_i[a] - c_a) * rowsum  (rowsum rides
+    as the free 4th RHS row of the same dot).
+
+    Centering rationale (round 4, tools/probe_stability.py): raw dots
+    contract ABSOLUTE positions — ~35x the centered pair magnitude — so dot
+    rounding lands on A_pq amplified 35x; with the XLA-side -pos_i*rowsum
+    correction this destabilized the episode.  Shifting by c = the tile's
+    first rest coordinate (any per-tile constant works — the subtraction is
+    mathematically exact) brings the contracted magnitudes down to tile
+    extent + reach (~3x pair scale), and the in-kernel rowsum uses the SAME
+    rounded coefficients as the dot, so the cancellation is consistent.
+
+    Output relabeling: ayT row 3b+a is now the FINAL [A | Y] component — the
+    callers' -pos_i * rs6 correction is gone.
     """
     rows = restT_rows_ref.shape[2]
     for i in range(tb):
@@ -450,26 +493,45 @@ def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
         cA = w * st[3:4]
         gv = gfac * st[4:5]
         pos_slabT = pos_slabT_ref[i]    # (pw, slab)
+        slab = pos_slabT.shape[1]
         lhs = jnp.concatenate(
             [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
             axis=0)
-        dotsT = _dot_t(pos_slabT[:3], lhs)              # (3, 6*rows)
+        # per-tile shift: first REST row coordinate (static; padded tiles are
+        # inert so a far-grid c only forgoes the precision win, never breaks)
+        c = [rr[b:b + 1, 0:1] for b in range(3)]            # 3 x (1, 1)
+        shifted = jnp.concatenate(
+            [pos_slabT[b:b + 1] - c[b] for b in range(3)]
+            + [jnp.ones((1, slab), lhs.dtype)], axis=0)     # (4, slab)
+        dotsT = _dot_t(shifted, lhs)                        # (4, 6*rows)
+        prow = posT_rows_ref[:, i * rows:(i + 1) * rows]    # (3, rows)
         # direct ref stores: tpu.concatenate rejects pieces whose lane
         # offsets differ ("offset mismatch on non-concat dimension"); masked
         # stores at static sub-tile offsets relayout fine (cf. the v2 bwd
         # kernel's drT_ref[0, 3c:3c+3, ...] stores)
+        prow_sh = jnp.concatenate(
+            [prow[b:b + 1] - c[b] for b in range(3)], axis=0)  # (3, rows)
         for blk in range(6):
+            sl = slice(blk * rows, (blk + 1) * rows)
             ayT_ref[3 * blk:3 * blk + 3, i * rows:(i + 1) * rows] = (
-                dotsT[:, blk * rows:(blk + 1) * rows])
+                dotsT[:3, sl] - prow_sh * dotsT[3:4, sl])
 
 
 def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
-                           dpsT_ref, ct_ref, *, h, tb):
-    """Backward of :func:`_moments_kernel_v4`: dayT (18, tb*rows) lane-major ->
-    dpsT (tb, 3, slab).  CT[a, blk*rows + r] = dayT[3*blk + a, r], then
-    d pos_slabT = CT @ lhs (one MXU dot).  CT is assembled through a VMEM
-    scratch: value-level concat of offset-mismatched pieces is unimplemented
-    in Mosaic, masked sub-tile ref stores are not."""
+                           dpsT_ref, dprowT_ref, ct_ref, *, h, tb):
+    """Backward of the CENTERED :func:`_moments_kernel_v4`.
+
+    dayT (18, tb*rows) lane-major ->
+      dpsT (tb, 3, slab):   d/d pos_slab — CT @ lhs as before (centering adds
+                            only pos_slab-independent terms);
+      dprowT (3, tb*rows):  d/d pos_rows — the centering term's gradient,
+                            dprow[a, r] = -sum_blk dayT[3blk+a, r] * rowsum_blk[r]
+                            with rowsum from a ones @ lhs^T dot (consistent
+                            with the forward's 4th RHS row).
+
+    CT is assembled through a VMEM scratch: value-level concat of
+    offset-mismatched pieces is unimplemented in Mosaic, masked sub-tile ref
+    stores are not."""
     rows = restT_rows_ref.shape[2]
     for i in range(tb):
         rr = restT_rows_ref[i]
@@ -478,6 +540,7 @@ def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
         dx, w, gfac = _pair_coeffs(rr, rs, h)
         cA = w * st[3:4]
         gv = gfac * st[4:5]
+        slab = st.shape[1]
         lhs = jnp.concatenate(
             [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
             axis=0)
@@ -485,6 +548,11 @@ def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
             ct_ref[:, blk * rows:(blk + 1) * rows] = (
                 dayT_ref[3 * blk:3 * blk + 3, i * rows:(i + 1) * rows])
         dpsT_ref[i] = _dot(ct_ref[...], lhs)            # (3, slab)
+        rowsumT = _dot_t(jnp.ones((1, slab), lhs.dtype), lhs)   # (1, 6*rows)
+        dprowT_ref[:, i * rows:(i + 1) * rows] = -sum(
+            ct_ref[:, blk * rows:(blk + 1) * rows]
+            * rowsumT[0:1, blk * rows:(blk + 1) * rows]
+            for blk in range(6))
 
 
 # ============================================================ fused K1 + mid-section
@@ -586,7 +654,7 @@ def _forces_kernel(restT_rows_ref, static_slab_ref, g_rows_ref,
     rows = rr.shape[1]
 
     nw_stack = jnp.concatenate([gfac * dx[b] for b in range(3)], axis=0)  # (3 rows, slab)
-    dots = _dot(nw_stack, g_slab_ref[0])            # (3 rows, 9)
+    dots = _dot(nw_stack, g_slab_ref[0], _DOT_PREC_K2)  # (3 rows, 9)
     term = None
     for b in range(3):
         col = _cols(dots[b * rows:(b + 1) * rows], b)
@@ -618,7 +686,8 @@ def _forces_bwd_kernel(restT_rows_ref, static_slab_ref, vol_rows_ref,
     # cotangent tiled per b-block, then unstack columns.
     dgs_cols = [None] * 9
     for b in range(3):
-        cb = _dot_rows(nw_stack[b * rows:(b + 1) * rows], df)    # (slab, 3)
+        cb = _dot_rows(nw_stack[b * rows:(b + 1) * rows], df,
+                       _DOT_PREC_K2)                           # (slab, 3)
         for a in range(3):
             dgs_cols[3 * a + b] = cb[:, a: a + 1]
     dgs_ref[0] = jnp.concatenate(dgs_cols, axis=1)
@@ -805,7 +874,7 @@ def _forces_warp_kernel_v4(restT_rows_ref, static_slab_ref,
             Z = jnp.concatenate(
                 [sum(nw[b] * sT[_SYM6[3 * d + b]:_SYM6[3 * d + b] + 1, :]
                      for b in range(3)) for d in range(3)], axis=0)  # (3 rows, L)
-            dots = dots + _dot_t(sT, Z)                              # (16, 3 rows)
+            dots = dots + _dot_t(sT, Z, _DOT_PREC_K2)                # (16, 3 rows)
         fi = f9T[:, i * rows:(i + 1) * rows]                         # (9, rows)
         t_rows = []
         for a in range(3):
@@ -862,7 +931,8 @@ def _forces_warp_bwd_kernel_v2(restT_rows_ref, static_slab_ref,
         wprime = []
         for c in range(3):
             # dR^T[3c+a][s] = sum_r df[r, a] u_c[r, s] (u carries V_j)
-            contrib = _dot_rows(df, u_stack[c * rows:(c + 1) * rows])   # (3, L)
+            contrib = _dot_rows(df, u_stack[c * rows:(c + 1) * rows],
+                                _DOT_PREC_K2)                   # (3, L)
             drT_ref[0, 3 * c:3 * c + 3, k * L:(k + 1) * L] = contrib
             # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]; srT rows 6+3c+a
             wprime.append(
@@ -967,7 +1037,7 @@ def _forces_warp_bwd_kernel_v4(restT_rows_ref, static_slab_ref,
                           for d in range(3))                     # (rows, L)
                 # dR^T[3c+a][s] = sum_r df[r, a] u_c[r, s]
                 dsrT_ref[i, 6 + 3 * c:9 + 3 * c, k * L:(k + 1) * L] = (
-                    _dot_rows(dfc, u_c))
+                    _dot_rows(dfc, u_c, _DOT_PREC_K2))
                 # w'_c[r, s] = sum_a df[r, a] R_j[a, c][s]
                 wprime.append(
                     sum(dfc[:, a:a + 1] * sT[6 + 3 * c + a:7 + 3 * c + a, :]

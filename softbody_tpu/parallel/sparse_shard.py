@@ -223,16 +223,22 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6T_loc, rest_corr_loc,
         return jnp.concatenate(parts + [zero], axis=0)
 
     pos_packed = gathered_source([pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], 8)
-    ayT = jnp.concatenate([
-        moments_packed_v4(b.restT_rows, b.static_slab,
-                          pos_packed, b.gidx8, cfg.h, interpret)
-        for b in lbuckets
-    ], axis=1)                                            # (18, m_loc)
+    # lane-major LOCAL row positions for the in-kernel centering (round 4)
+    posT_loc = jax.lax.optimization_barrier(jnp.stack(
+        [pos_loc[:, 0], pos_loc[:, 1], pos_loc[:, 2]], axis=0))
+    ay_parts = []
+    for b in lbuckets:
+        mb = b.n_tiles * rows
+        posT_b = jax.lax.slice_in_dim(
+            posT_loc, b.tile_start * rows, b.tile_start * rows + mb, axis=1)
+        ay_parts.append(moments_packed_v4(
+            b.restT_rows, b.static_slab,
+            pos_packed, posT_b, b.gidx8, cfg.h, interpret))
+    ayT = jnp.concatenate(ay_parts, axis=1)               # (18, m_loc)
 
-    A = mat3.pack([[ayT[3 * b + a] - pos_loc[:, a] * rs6T_loc[b]
-                    for b in range(3)] for a in range(3)])
-    Y = mat3.pack([[ayT[9 + 3 * b + a] - pos_loc[:, a] * rs6T_loc[3 + b]
-                    for b in range(3)] for a in range(3)])
+    # v4 kernels emit CENTERED [A | Y] — no -pos_i * rowsum correction here
+    A = mat3.pack([[ayT[3 * b + a] for b in range(3)] for a in range(3)])
+    Y = mat3.pack([[ayT[9 + 3 * b + a] for b in range(3)] for a in range(3)])
     lscene = Scene(rest_position=None, materials=lmats, topology=None,
                    out_num=0, blocked=None, rest_corr=rest_corr_loc,
                    slot_of_particle=None, obstacles=None)

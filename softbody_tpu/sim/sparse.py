@@ -303,9 +303,18 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     def moments_all_T(p_slots):
         packed = pack_components(
             [p_slots[:, 0], p_slots[:, 1], p_slots[:, 2]], 8, 8)
-        parts = [moments_packed_v4(
-            b.restT_rows, b.static_slab,
-            packed, b.gidx8, cfg.h, interpret) for b in sb.buckets]
+        # lane-major row positions for the in-kernel centering (the same
+        # compact stack pack_components builds; sliced per bucket like f9T)
+        posT_m = jax.lax.optimization_barrier(jnp.stack(
+            [p_slots[:m, 0], p_slots[:m, 1], p_slots[:m, 2]], axis=0))
+        parts = []
+        for b in sb.buckets:
+            mb = b.n_tiles * rows
+            posT_b = jax.lax.slice_in_dim(
+                posT_m, b.tile_start * rows, b.tile_start * rows + mb, axis=1)
+            parts.append(moments_packed_v4(
+                b.restT_rows, b.static_slab,
+                packed, posT_b, b.gidx8, cfg.h, interpret))
         # bucket-major tile order: concat IS tile order
         return jnp.concatenate(parts, axis=1)               # (18, m)
 
@@ -354,16 +363,11 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
 
     ayT = moments_all_T(pos_slots)
     rs6T = sb.rs6T                                             # (6, m), row b
-    pos_m = pos_slots[:m]
-    # kernel emits rows in the transposed [3b+a] order; component extraction
-    # from the lane-major (18, m) array is CONTIGUOUS rows, and the
-    # -pos_i * rowsum correction stays COMPONENT-WISE in the lane-packed mat3
-    # space (a broadcasted (m, 6, 3) correction tensor would materialize with
-    # its minor dim padded to 128 lanes — 42x HBM bloat)
-    A = mat3.pack([[ayT[3 * b + a] - pos_m[:, a] * rs6T[b]
-                    for b in range(3)] for a in range(3)])
-    Y = mat3.pack([[ayT[9 + 3 * b + a] - pos_m[:, a] * rs6T[3 + b]
-                    for b in range(3)] for a in range(3)])
+    # v4 kernels center in-kernel (round 4): ayT rows ARE the final [A | Y]
+    # components in the transposed [3b+a] order — contiguous-row extraction,
+    # no correction pass (rs6T survives only for the K2 term_i epilogue)
+    A = mat3.pack([[ayT[3 * b + a] for b in range(3)] for a in range(3)])
+    Y = mat3.pack([[ayT[9 + 3 * b + a] for b in range(3)] for a in range(3)])
     R, F, S, M, G, vol_m = _mid_section(A, Y, ratio_slots, mats, scene, cfg, m)
     vol_rows = vol_m.reshape(t, rows)
 

@@ -46,14 +46,18 @@ def main():
     ap.add_argument("--f64", action="store_true",
                     help="CPU f64 gather backend: separates discretization "
                          "instability (math) from f32 rounding seeds")
+    ap.add_argument("--gather-f32", action="store_true",
+                    help="CPU f32 gather backend (centered moments): isolates "
+                         "the pallas raw-dot cancellation from generic f32")
     args = ap.parse_args()
 
-    if args.f64:
+    if args.f64 or args.gather_f32:
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    if args.f64:
+    if args.f64 or args.gather_f32:
         jax.config.update("jax_platforms", "cpu")
+    if args.f64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -73,7 +77,7 @@ def main():
         dtype="float64" if args.f64 else "float32", dt=args.dt,
         integrator=args.integrator,
         frames=args.steps, target_frames=100,
-        backend="gather" if args.f64 else "pallas")
+        backend="gather" if (args.f64 or args.gather_f32) else "pallas")
     if args.damping is not None:
         cfg = cfg.replace(damping=args.damping)
     if args.mass is not None:
@@ -94,7 +98,7 @@ def main():
           f"scale=({cfg.scale_a:g},{cfg.scale_b:g}) pdg={cfg.pair_def_grad} "
           f"quiet={args.quiet}", flush=True)
     t0 = time.perf_counter()
-    if args.f64:
+    if args.f64 or args.gather_f32:
         scene = build_scene(pts, cfg, out_num=out_num)
         sop = np.arange(len(pts))
         n_slots = len(pts)
