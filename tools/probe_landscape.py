@@ -32,6 +32,8 @@ def main():
     enable_heap_reuse()
     enable_compilation_cache()
 
+    from scenario import add_physics_args, apply_physics_args, fit_body
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
     ap.add_argument("--steps", type=int, default=3000)
@@ -40,10 +42,7 @@ def main():
     ap.add_argument("--alpha-min", type=float, default=1e-7)
     ap.add_argument("--alpha-max", type=float, default=1.0)
     ap.add_argument("--per-decade", type=int, default=3)
-    ap.add_argument("--dt", type=float, default=1e-6)
-    ap.add_argument("--integrator", default="trapezoidal",
-                    choices=["trapezoidal", "symplectic"])
-    ap.add_argument("--damping", type=float, default=None)
+    add_physics_args(ap)
     args = ap.parse_args()
 
     import jax
@@ -51,27 +50,21 @@ def main():
     from functools import partial
 
     from softbody_tpu import warp_parity
-    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.geometry.shapes import suggest_h
     from softbody_tpu.sim.rollout import (_chunk_primal, acc_float,
                                           episode_value_and_grad_chunked,
                                           rollout)
     from softbody_tpu.sim.sparse import build_sparse_scene
 
-    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
-    a = (len(probe) - 1000) / 1000**1.5
-    n_outer = 1000
-    for _ in range(40):
-        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
-    pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
+    pts, out_num = fit_body(args.particles)
     cfg = warp_parity().replace(
-        h=suggest_h(pts, 32), dtype="float32", dt=args.dt,
-        integrator=args.integrator,
+        h=suggest_h(pts, 32), dtype="float32", dt=1e-6,
         frames=args.steps, target_frames=args.target_frames,
         backend="pallas")
-    if args.damping is not None:
-        cfg = cfg.replace(damping=args.damping)
+    cfg = apply_physics_args(cfg, args)
     print(f"cfg: dt={cfg.dt:g} integrator={cfg.integrator} "
-          f"damping={cfg.damping:g} h={cfg.h:g}", flush=True)
+          f"damping={cfg.damping:g} h={cfg.h:g} E={cfg.youngs_modulus:g} "
+          f"kcol={cfg.collision_stiffness:g}", flush=True)
     t0 = time.perf_counter()
     scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
     sb = scene.blocked

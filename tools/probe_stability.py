@@ -26,23 +26,17 @@ def main():
     enable_heap_reuse()
     enable_compilation_cache()
 
+    from scenario import add_physics_args, apply_physics_args, fit_body
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
     ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--dt", type=float, default=1e-6)
-    ap.add_argument("--integrator", default="trapezoidal",
-                    choices=["trapezoidal", "symplectic"])
-    ap.add_argument("--damping", type=float, default=None)
     ap.add_argument("--quiet", type=int, default=1,
                     help="1: v0=0, ext=0 (pure stability); 0: warp defaults")
     ap.add_argument("--x", default="zero", choices=["zero", "star"],
                     help="inflation field: zero (ratio 0.5) or radial bands")
     ap.add_argument("--record-every", type=int, default=250)
-    ap.add_argument("--mass", type=float, default=None)
-    ap.add_argument("--youngs", type=float, default=None)
-    ap.add_argument("--scale-a", type=float, default=None)
-    ap.add_argument("--scale-b", type=float, default=None)
-    ap.add_argument("--pair-def-grad", default=None, choices=[None, "i", "j"])
+    add_physics_args(ap)
     ap.add_argument("--f64", action="store_true",
                     help="CPU f64 gather backend: separates discretization "
                          "instability (math) from f32 rounding seeds")
@@ -62,34 +56,18 @@ def main():
     import jax.numpy as jnp
 
     from softbody_tpu import build_scene, warp_parity
-    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.geometry.shapes import suggest_h
     from softbody_tpu.sim.rollout import rollout
     from softbody_tpu.sim.sparse import build_sparse_scene
 
-    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
-    a = (len(probe) - 1000) / 1000**1.5
-    n_outer = 1000
-    for _ in range(40):
-        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
-    pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
+    pts, out_num = fit_body(args.particles)
     cfg = warp_parity().replace(
         h=suggest_h(pts, 32),
-        dtype="float64" if args.f64 else "float32", dt=args.dt,
-        integrator=args.integrator,
+        dtype="float64" if args.f64 else "float32",
+        dt=1e-6, integrator="trapezoidal",
         frames=args.steps, target_frames=100,
         backend="gather" if (args.f64 or args.gather_f32) else "pallas")
-    if args.damping is not None:
-        cfg = cfg.replace(damping=args.damping)
-    if args.mass is not None:
-        cfg = cfg.replace(mass=args.mass)
-    if args.youngs is not None:
-        cfg = cfg.replace(youngs_modulus=args.youngs)
-    if args.scale_a is not None:
-        cfg = cfg.replace(scale_a=args.scale_a)
-    if args.scale_b is not None:
-        cfg = cfg.replace(scale_b=args.scale_b)
-    if args.pair_def_grad is not None:
-        cfg = cfg.replace(pair_def_grad=args.pair_def_grad)
+    cfg = apply_physics_args(cfg, args)
     if args.quiet:
         cfg = cfg.replace(initial_velocity=(0.0, 0.0, 0.0),
                           external_force=(0.0, 0.0, 0.0))
@@ -135,7 +113,9 @@ def main():
         v = v - v.mean(axis=0, keepdims=True)
         print(f"step {step_i:5d}: max|disp-rigid|={np.abs(d).max():.3e} "
               f"rms={np.sqrt((d*d).mean()):.3e} "
-              f"max|v-rigid|={np.abs(v).max():.3e}", flush=True)
+              f"max|v-rigid|={np.abs(v).max():.3e} "
+              f"max|v|={np.abs(vel[k][sl]).max():.3e} "
+              f"y_min={pos[k][sl][:, 1].min():+.4f}", flush=True)
 
 
 if __name__ == "__main__":
