@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Reference-scale inverse design on one TPU chip (VERDICT r2 item 2).
+"""Reference-scale inverse design on one TPU chip.
 
 The reference's unit of work is a 3000-step differentiable episode with 100
 loss frames inside a scipy L-BFGS-B loop (/root/reference/sim.py:63-65,
@@ -7,10 +7,14 @@ loss frames inside a scipy L-BFGS-B loop (/root/reference/sim.py:63-65,
 the flagship sparse-pallas backend:
 
 1. build a ~100k-particle procedural inflatable body;
-2. pick a ground-truth inflation field x* (radial bands — a pattern the
-   optimizer cannot guess from the initial x0 = 0 fill);
-3. generate target trajectories by rolling x* forward (the --set_target
-   workflow, sim.py:363-369) — 100 sampled frames of 3000 steps;
+2. clamp its top and load the rest (the Taichi reference's own setup,
+   sim_taichi.py:329-334) — the "stretch" scenario
+   (softbody_tpu/scenarios.py), validated stable and with a clean descent
+   landscape by tools/probe_stability.py / tools/probe_landscape.py;
+3. pick a ground-truth inflation field x* (radial bands — a pattern the
+   optimizer cannot guess from the initial x0 = 0 fill) and generate target
+   trajectories by rolling x* forward (the --set_target workflow,
+   sim.py:363-369) — 100 sampled frames of 3000 steps;
 4. L-BFGS-B from x0 = 0 with the jit'd episode value-and-grad, saving the
    reference's per-iteration artifacts (x.npy, losses/distances json,
    convergence plots) under --out.
@@ -56,38 +60,35 @@ def main():
     import jax.numpy as jnp
 
     from softbody_tpu import warp_parity
-    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.geometry.shapes import suggest_h
     from softbody_tpu.opt import driver
+    from softbody_tpu.scenarios import (STRETCH, dirichlet_mask, fit_body,
+                                        x_star_bands)
     from softbody_tpu.sim.rollout import rollout
     from softbody_tpu.sim.sparse import build_sparse_scene
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    # ---- body (same sizing fit as bench.py)
+    # ---- body (same sizing fit as bench.py) + stretch scenario
     t0 = time.perf_counter()
-    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
-    a = (len(probe) - 1000) / 1000**1.5
-    n_outer = 1000
-    for _ in range(40):
-        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
-    pts, out_num = inflatable_sphere(n_outer=max(int(n_outer), 8), radius=0.05)
+    pts, out_num = fit_body(args.particles)
     n = len(pts)
     cfg = warp_parity().replace(
-        h=suggest_h(pts, 32), dtype="float32", dt=1e-6,
+        h=suggest_h(pts, 32), dtype="float32",
         frames=args.steps, target_frames=args.target_frames,
-        backend="pallas")
-    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+        backend="pallas", **STRETCH)
+    scene, sop = build_sparse_scene(
+        pts, cfg, out_num=out_num,
+        dirichlet_mask=dirichlet_mask(pts, "stretch"))
     sb = scene.blocked
     print(f"scene: N={n} slots={sb.n_slots} tiles={sb.n_tiles} "
           f"build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}",
           flush=True)
 
     # ---- ground-truth inflation field: radial bands in [-1, 1]
-    r = np.linalg.norm(pts - pts.mean(0), axis=1)
-    x_star_p = np.sin(r / r.max() * 3.0 * np.pi)  # 1.5 radial bands
-    x_star = np.zeros(sb.n_slots)
-    x_star[sop] = x_star_p
+    x_star = x_star_bands(pts, sb.n_slots, sop)
+    x_star_p = x_star[sop]
 
     # ---- targets from x* (in-memory --set_target, sim.py:363-369)
     interval = args.steps // args.target_frames

@@ -1,0 +1,123 @@
+"""Shared scenario construction for the round-4 probe tools and examples.
+
+The flagship inverse-design scenario ("drop") reproduces the reference's
+workload structure (sim.py: 3000 steps at dt=5e-5 -> 0.15 s episode, body
+dropped onto the ground plane with v0=-0.4 and a constant external force,
+inflation field modulating stiffness through the (200 - 199*ratio) scale)
+with material constants tuned for STABILITY of the explicit integrator at
+the procedural body's discretization (suggest_h(32) at radius 0.05):
+
+  c_p = sqrt(2.14 * E * scale_max / rho) with rho ~ 4.1e3  ->  omega*dt =
+  c_p*pi/dx * dt <= ~0.3 requires E*scale_max <~ 1e5, hence E=250 (the
+  reference's 1.5e5 assumes its own coarser h=0.007 sampling); the ground
+  penalty spring omega_c = sqrt(k/m)*dt <= ~0.25 requires k <= 2.5e3, hence
+  k=2e3 (reference 3e5 at dt=5e-5 sits at omega_c*dt=2.7 — past the
+  stability bound; its contact survives only as bounded rattle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def add_physics_args(ap):
+    ap.add_argument("--v0y", type=float, default=None)
+    ap.add_argument("--ext-y", type=float, default=None)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--integrator", default=None,
+                    choices=[None, "trapezoidal", "symplectic"])
+    ap.add_argument("--damping", type=float, default=None)
+    ap.add_argument("--mass", type=float, default=None)
+    ap.add_argument("--youngs", type=float, default=None)
+    ap.add_argument("--scale-a", type=float, default=None)
+    ap.add_argument("--scale-b", type=float, default=None)
+    ap.add_argument("--collision-stiffness", type=float, default=None)
+    ap.add_argument("--pair-def-grad", default=None, choices=[None, "i", "j"])
+    ap.add_argument("--scenario", default=None,
+                    choices=[None, "drop", "stretch"],
+                    help="named base scenario (overrides applied on top)")
+
+
+# Iterated on-chip (tools/probe_stability.py logs, round 4):
+#   v1 trapezoidal E=250 k=2e3: contact heating, penetration to -0.032;
+#   v2 symplectic E=250 k=2e4: StVK compression collapse -> NaN at ~step 2600
+#      (impact strain ~ v/c with c ~ 5 m/s at ratio 0.5 exceeded the StVK
+#      stability region);
+#   v3 (current): E=1e3 (c(0.5) ~ 10 m/s -> impact strain ~4%), gentler fall
+#      (v0 -0.25, a = 2), k=2e4 (omega_c*dt = 0.7), symplectic (bounded
+#      high-frequency modes), mild damping 2e-4 to settle post-impact ring.
+DROP = dict(dt=5e-5, youngs_modulus=1e3, collision_stiffness=2e4,
+            integrator="symplectic", damping=2e-4,
+            initial_velocity=(0.0, -0.25, 0.0),
+            external_force=(0.0, -2e-4, 0.0))
+
+# Flagship inverse-design scenario (round 4): the Taichi reference's own
+# setup — clamp the top of the body, load the rest, let it stretch
+# (sim_taichi.py:329-334: Dirichlet z>0.85 + pull force).  Deformation from
+# step 0, NO contact (the drop scenarios above sit in an explicit-contact
+# squeeze between high-frequency instability and StVK compression collapse
+# at this discretization), and the inflation bands map directly onto local
+# stretch: strain ~ rho*a*L / (E*scale(ratio)) ranges ~7-18% across the
+# x* bands at these constants -> strongly identifiable x.
+#   stability: v3-drop measured (dt=5e-5, E=1e3, symplectic) unstable
+#   pre-contact -> true omega ~ 2.5/5e-5; at dt=1e-5 omega*dt ~ 0.5.  T =
+#   3000 * 1e-5 = 0.03 s ~ one fundamental period (2L/c ~ 0.03 s) — a
+#   dynamic stretch-and-ring episode, loss sampled at 100 frames.
+STRETCH = dict(dt=1e-5, youngs_modulus=1e3, collision=False,
+               integrator="symplectic", damping=2e-4,
+               initial_velocity=(0.0, 0.0, 0.0),
+               external_force=(0.0, -2.4e-3, 0.0))
+
+_SCENARIOS = {"drop": DROP, "stretch": STRETCH}
+
+
+def apply_physics_args(cfg, args):
+    name = getattr(args, "scenario", None)
+    if name:
+        cfg = cfg.replace(**_SCENARIOS[name])
+    over = {}
+    for arg, field in [("dt", "dt"), ("integrator", "integrator"),
+                       ("damping", "damping"), ("mass", "mass"),
+                       ("youngs", "youngs_modulus"),
+                       ("scale_a", "scale_a"), ("scale_b", "scale_b"),
+                       ("collision_stiffness", "collision_stiffness"),
+                       ("pair_def_grad", "pair_def_grad")]:
+        v = getattr(args, arg, None)
+        if v is not None:
+            over[field] = v
+    if getattr(args, "v0y", None) is not None:
+        over["initial_velocity"] = (0.0, args.v0y, 0.0)
+    if getattr(args, "ext_y", None) is not None:
+        over["external_force"] = (0.0, args.ext_y, 0.0)
+    return cfg.replace(**over) if over else cfg
+
+
+def dirichlet_mask(pts: np.ndarray, scenario) -> np.ndarray | None:
+    """Per-scenario Dirichlet mask: 'stretch' clamps the top 15% of the body
+    (the Taichi reference's z>0.85 clamp, mapped to our +y-up body)."""
+    if scenario != "stretch":
+        return None
+    mask = np.ones((len(pts), 3))
+    mask[pts[:, 1] > np.quantile(pts[:, 1], 0.85)] = 0.0
+    return mask
+
+
+def fit_body(n_particles: int, radius: float = 0.05):
+    """Procedural inflatable body sized to ~n_particles (bench.py fit)."""
+    from softbody_tpu.geometry.shapes import inflatable_sphere
+
+    probe, _ = inflatable_sphere(n_outer=1000, radius=radius)
+    a = (len(probe) - 1000) / 1000**1.5
+    n_outer = 1000
+    for _ in range(40):
+        n_outer = max((max(n_particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
+    return inflatable_sphere(n_outer=max(int(n_outer), 8), radius=radius)
+
+
+def x_star_bands(pts: np.ndarray, n_slots: int, sop) -> np.ndarray:
+    """Ground-truth inflation field: 1.5 radial bands in [-1, 1]."""
+    r = np.linalg.norm(pts - pts.mean(0), axis=1)
+    xp = np.sin(r / r.max() * 3.0 * np.pi)
+    x = np.zeros(n_slots)
+    x[sop] = xp
+    return x

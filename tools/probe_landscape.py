@@ -32,7 +32,8 @@ def main():
     enable_heap_reuse()
     enable_compilation_cache()
 
-    from scenario import add_physics_args, apply_physics_args, fit_body
+    from softbody_tpu.scenarios import (add_physics_args, apply_physics_args,
+                          dirichlet_mask, fit_body)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
@@ -66,7 +67,9 @@ def main():
           f"damping={cfg.damping:g} h={cfg.h:g} E={cfg.youngs_modulus:g} "
           f"kcol={cfg.collision_stiffness:g}", flush=True)
     t0 = time.perf_counter()
-    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+    scene, sop = build_sparse_scene(
+        pts, cfg, out_num=out_num,
+        dirichlet_mask=dirichlet_mask(pts, args.scenario))
     sb = scene.blocked
     print(f"scene: N={len(pts)} slots={sb.n_slots} "
           f"build={time.perf_counter()-t0:.1f}s dev={jax.devices()[0]}",

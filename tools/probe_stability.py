@@ -26,7 +26,8 @@ def main():
     enable_heap_reuse()
     enable_compilation_cache()
 
-    from scenario import add_physics_args, apply_physics_args, fit_body
+    from softbody_tpu.scenarios import (add_physics_args, apply_physics_args,
+                          dirichlet_mask, fit_body)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
@@ -76,12 +77,14 @@ def main():
           f"scale=({cfg.scale_a:g},{cfg.scale_b:g}) pdg={cfg.pair_def_grad} "
           f"quiet={args.quiet}", flush=True)
     t0 = time.perf_counter()
+    mask = dirichlet_mask(pts, args.scenario)
     if args.f64 or args.gather_f32:
-        scene = build_scene(pts, cfg, out_num=out_num)
+        scene = build_scene(pts, cfg, out_num=out_num, dirichlet_mask=mask)
         sop = np.arange(len(pts))
         n_slots = len(pts)
     else:
-        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num,
+                                        dirichlet_mask=mask)
         n_slots = scene.blocked.n_slots
     print(f"scene: N={len(pts)} slots={n_slots} "
           f"build={time.perf_counter()-t0:.1f}s", flush=True)
