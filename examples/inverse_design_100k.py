@@ -118,7 +118,18 @@ def main():
     print(f"L-BFGS: {result.nit} iterations / {result.nfev} evals in "
           f"{wall:.0f}s — {result.message}", flush=True)
 
+    import datetime
+
     report = {
+        # one coherent run per out dir: every artifact in --out (x.npy,
+        # losses/distances json, plots, x_star.npy, run log) comes from THIS
+        # invocation, identified by run_id
+        "run_id": datetime.datetime.now().isoformat(timespec="seconds"),
+        "scenario": "stretch",
+        "cfg": {"dt": cfg.dt, "youngs_modulus": cfg.youngs_modulus,
+                "integrator": cfg.integrator, "damping": cfg.damping,
+                "h": cfg.h, "mass": cfg.mass,
+                "external_force": list(cfg.external_force)},
         "n_particles": n,
         "steps": args.steps,
         "target_frames": args.target_frames,

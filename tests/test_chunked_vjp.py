@@ -41,7 +41,11 @@ def tiny():
     return cfg, scene, x0, tp, tv
 
 
-@pytest.mark.parametrize("n_chunks", [1, 4, 5])
+@pytest.mark.parametrize("n_chunks", [
+    4,
+    pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(5, marks=pytest.mark.slow),  # uneven chunks (24 = 5+5+5+5+4)
+])
 def test_chunked_vjp_matches_single_dispatch(tiny, n_chunks):
     # n_chunks=5 exercises uneven chunk sizes (24 = 5+5+5+5+4)
     cfg, scene, x0, tp, tv = tiny

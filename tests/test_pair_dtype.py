@@ -53,6 +53,7 @@ def pair():
     return scenes, x
 
 
+@pytest.mark.slow  # guards the OPT-IN bf16 forward mode (~50 s)
 def test_bf16_trajectory_drift_bounded(pair):
     scenes, x = pair
     finals = {}
@@ -68,6 +69,7 @@ def test_bf16_trajectory_drift_bounded(pair):
     assert drift <= 0.05 * max(disp, 1e-12), (drift, disp)
 
 
+@pytest.mark.slow  # guards the OPT-IN bf16 forward mode (~210 s)
 def test_bf16_gradient_keeps_direction(pair):
     scenes, x = pair
     grads = {}

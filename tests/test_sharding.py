@@ -69,6 +69,7 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(g_sh)[len(pts):], 0.0, atol=1e-14)
 
 
+@pytest.mark.slow  # ~280 s; the driver runs dryrun_multichip itself every round
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

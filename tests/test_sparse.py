@@ -134,6 +134,7 @@ def test_taichi_preset_matches(body):
     assert np.abs(pb - ps).max() < 1e-12
 
 
+@pytest.mark.slow  # guards the OPT-IN bf16 forward mode (~60 s)
 def test_bf16_pair_dtype_drift():
     """cfg.pair_dtype='bfloat16' (K2 pair products + S|R slab in bf16, f32
     accumulation) must track the f32 path to ~bf16 resolution: forces within

@@ -86,6 +86,7 @@ def test_sharded_sparse_matches_single_device(mode):
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-12)
 
 
+@pytest.mark.slow  # ~130 s; core SPMD parity stays fast via test_sharded_sparse_matches_single_device
 def test_sharded_obstacles_and_contact_match_single_device():
     """BASELINE configs #3/#4 sharded: SDF obstacle penalty + dynamic
     re-binned contact inside the shard_map episode reproduce the single-device
@@ -142,6 +143,7 @@ def test_sharded_obstacles_and_contact_match_single_device():
     np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-12)
 
 
+@pytest.mark.slow  # ~240 s
 def test_halo_exchange_matches_all_gather():
     """Boundary-group ring exchange (build_halo_plan + ppermute rounds) must
     reproduce the all-gather episode exactly: same kernels, same operand
