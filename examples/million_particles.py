@@ -59,36 +59,38 @@ def main():
     ap.add_argument("--out", default="out/million")
     args = ap.parse_args()
 
+    import datetime
+
     import jax
     import jax.numpy as jnp
 
     from softbody_tpu import warp_parity
-    from softbody_tpu.geometry.shapes import inflatable_sphere, suggest_h
+    from softbody_tpu.geometry.shapes import suggest_h
+    from softbody_tpu.scenarios import STRETCH, dirichlet_mask, fit_body
     from softbody_tpu.sim.rollout import (episode_value_and_grad_chunked,
                                           forward_chunked)
     from softbody_tpu.sim.sparse import build_sparse_scene
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    report = {}
+    report = {"run_id": datetime.datetime.now().isoformat(timespec="seconds"),
+              "scenario": "stretch"}
 
-    # ---- body
+    # ---- body + flagship stretch scenario (stable physics with visible
+    # deformation — softbody_tpu/scenarios.py)
     t0 = time.perf_counter()
-    probe, _ = inflatable_sphere(n_outer=1000, radius=0.05)
-    a = (len(probe) - 1000) / 1000**1.5
-    n_outer = 1000
-    for _ in range(40):
-        n_outer = max((max(args.particles - n_outer, 8.0) / a) ** (2 / 3), 8.0)
-    pts, out_num = inflatable_sphere(n_outer=int(n_outer), radius=0.05)
+    pts, out_num = fit_body(args.particles)
     n = len(pts)
     print(f"body: N={n} ({out_num} outer) gen={time.perf_counter()-t0:.1f}s",
           flush=True)
 
-    cfg = warp_parity().replace(h=suggest_h(pts, 32), dtype="float32", dt=1e-6,
+    cfg = warp_parity().replace(h=suggest_h(pts, 32), dtype="float32",
                                 frames=args.steps, target_frames=2,
-                                backend="pallas")
+                                backend="pallas", **STRETCH)
     t0 = time.perf_counter()
-    scene, sop = build_sparse_scene(pts, cfg, out_num=out_num)
+    scene, sop = build_sparse_scene(
+        pts, cfg, out_num=out_num,
+        dirichlet_mask=dirichlet_mask(pts, "stretch"))
     build_s = time.perf_counter() - t0
     sb = scene.blocked
     pairs = sum(b.n_tiles * b.slab_len * sb.rows for b in sb.buckets)
