@@ -201,11 +201,35 @@ def _pair_coeffs_g(restT_rows, restT_slab, h):
 def _prec(name: str, default: str):
     val = _os.environ.get(name, _os.environ.get("SOFTBODY_DOT_PRECISION",
                                                 default))
+    if val == "bf16x3":
+        return "bf16x3"
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[val]
+
+
+def _split_bf16(a):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a (lo = rounding residual)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(a.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b, dims):
+    """Manual 3-pass bf16 emulation of an f32 dot (~2^-22 relative error):
+    a@b ~= a_hi@b_hi + a_lo@b_hi + a_hi@b_lo (the lo@lo term is below f32
+    ulp).  Mosaic implements only DEFAULT (1 bf16 pass, ~4e-3) and HIGHEST
+    (true f32, 6 passes); this is the missing middle tier — half the MXU
+    passes of HIGHEST at ~10x the error, still far inside the stability
+    envelope measured for the centered kernels."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
 
 
 # K1 (moments) contracts ABSOLUTE positions whose magnitude is ~35x the
@@ -220,9 +244,14 @@ _DOT_PREC_K2 = _prec("SOFTBODY_DOT_PRECISION_K2", "highest")
 
 def _dot(a, b, precision=None):
     """(m, S) @ (S, n)."""
+    precision = precision or _DOT_PREC_K1
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        if a.dtype == jnp.float32:
+            return _dot3(a, b, dims)
+        precision = jax.lax.Precision.HIGHEST  # non-f32: exact path
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=a.dtype,
-        precision=precision or _DOT_PREC_K1,
+        a, b, dims, preferred_element_type=a.dtype, precision=precision,
     )
 
 
@@ -231,17 +260,27 @@ def _dot_t(a, bT, precision=None):
     both).  Mosaic lowers this natively — it lets slab operands stay
     lane-major (minor dim = slab), avoiding the 8-16x HBM retiling that
     (slab, n<128)-shaped pallas operands pay."""
+    precision = precision or _DOT_PREC_K1
+    dims = (((1,), (1,)), ((), ()))
+    if precision == "bf16x3":
+        if a.dtype == jnp.float32:
+            return _dot3(a, bT, dims)
+        precision = jax.lax.Precision.HIGHEST  # non-f32: exact path
     return jax.lax.dot_general(
-        a, bT, (((1,), (1,)), ((), ())), preferred_element_type=a.dtype,
-        precision=precision or _DOT_PREC_K1,
+        a, bT, dims, preferred_element_type=a.dtype, precision=precision,
     )
 
 
 def _dot_rows(a, b, precision=None):
     """Contract the ROWS axis: (rows, S) x (rows, F) -> (S, F)."""
+    precision = precision or _DOT_PREC_K1
+    dims = (((0,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        if a.dtype == jnp.float32:
+            return _dot3(a, b, dims)
+        precision = jax.lax.Precision.HIGHEST  # non-f32: exact path
     return jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=a.dtype,
-        precision=precision or _DOT_PREC_K1,
+        a, b, dims, preferred_element_type=a.dtype, precision=precision,
     )
 
 
