@@ -100,7 +100,7 @@ def main():
     report.update(n_particles=n, steps=args.steps, build_seconds=build_s,
                   pairs_per_step=pairs)
 
-    # inflate: x > 0 -> ratio ~ 1 (soft), falling body under gravity-lite
+    # uniform mid-inflation field (ratio ~ 0.73 at x = 0.5)
     sop_j = jnp.asarray(np.asarray(sop))
     x = jnp.zeros(sb.n_slots, jnp.float32).at[sop_j].set(0.5)
 
@@ -116,7 +116,9 @@ def main():
     t0 = time.perf_counter()
     final, recorded = forward_chunked(x, scene, cfg, args.steps, chunk,
                                       record_every=rec_every)
-    jax.block_until_ready(final.position)
+    # force a real D2H: on the axon tunnel block_until_ready alone can return
+    # before execution completes (async stream; see PERF_NOTES.md)
+    float(np.asarray(final.position[0, 0]))
     compile_s = time.perf_counter() - t0
     print(f"compile+first episode: {compile_s:.1f}s "
           f"({args.steps // chunk} dispatches)", flush=True)
@@ -124,7 +126,7 @@ def main():
     t0 = time.perf_counter()
     final, recorded = forward_chunked(x, scene, cfg, args.steps, chunk,
                                       record_every=rec_every)
-    jax.block_until_ready(final.position)
+    float(np.asarray(final.position[0, 0]))    # real D2H sync (see above)
     wall = time.perf_counter() - t0
     thr = n * args.steps / wall
     print(f"episode: {args.steps} steps in {wall:.2f}s -> "
@@ -174,11 +176,11 @@ def main():
                                             n_steps=args.grad_steps)
         t0 = time.perf_counter()
         loss, grad = vg(x, tp, tv)
-        jax.block_until_ready(grad)
+        float(np.asarray(grad[0]))             # real D2H sync (see above)
         grad_compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         loss, grad = vg(x, tp, tv)
-        jax.block_until_ready(grad)
+        float(np.asarray(grad[0]))             # real D2H sync (see above)
         grad_wall = time.perf_counter() - t0
         gthr = n * args.grad_steps / grad_wall
         gnorm = float(jnp.linalg.norm(grad))

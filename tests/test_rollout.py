@@ -128,6 +128,7 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_n), rtol=1e-9, atol=1e-12)
 
 
+@pytest.mark.slow  # ~60 s; remat semantics stay covered fast by test_remat_matches_no_remat
 def test_nested_remat_matches_linear():
     """sqrt-nested checkpointing (cfg.remat_chunk) must be a pure memory
     transform: identical loss and gradient to linear per-step remat, including
