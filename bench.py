@@ -41,7 +41,10 @@ def main():
     ap.add_argument("--backend", choices=["pallas", "blocked", "gather"], default="pallas")
     ap.add_argument("--layout", choices=["sparse", "varcol", "cells"],
                     default="sparse")
-    ap.add_argument("--rows", type=int, default=64)
+    # rows=32 wins under the round-4 true-f32 kernels (fewer candidate pairs
+    # now matter more than per-tile staging: 1.60e7 vs 1.43e7 at rows=64,
+    # rows=16 1.08e7); rows=64 was the round-3 bf16-dot-era winner
+    ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--max-buckets", type=int, default=8)
     ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",

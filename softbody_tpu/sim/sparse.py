@@ -130,7 +130,8 @@ def build_sparse_scene(
     points: np.ndarray,
     cfg: SimConfig,
     out_num: int | None = None,
-    rows: int = 64,
+    rows: int = 32,  # round-4 sweep: 1.60e7 (32) vs 1.43e7 (64) vs 1.08e7 (16)
+                     # at 100k under the true-f32 kernels (PERF_NOTES)
     max_buckets: int = 8,
     dirichlet_mask: np.ndarray | None = None,
     external_force: np.ndarray | None = None,
