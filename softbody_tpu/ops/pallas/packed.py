@@ -330,9 +330,9 @@ moments_packed_src.defvjp(_moments_src_vjp_fwd, _moments_src_vjp_bwd)
 
 
 # ---------------------------------------------- moments (K1, v4 lane-major)
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def moments_packed_v4(restT_rows, static_slab, pos_packed, posT_rows, gidx8,
-                      h, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def moments_packed_v4(restT_rows, static_slab, pos_packed, posT_rows,
+                      rs6T_rows, gidx8, h, interpret=False):
     """CENTERED A/Y moments, LANE-MAJOR output ayT (18, t*rows): row 3b+a is
     the FINAL [A | Y] component in the transposed layout (no -pos_i * rowsum
     correction left for the caller — it happens in-kernel against a per-tile
@@ -340,13 +340,15 @@ def moments_packed_v4(restT_rows, static_slab, pos_packed, posT_rows, gidx8,
 
     pos_packed: the (n_rows, 64) packed position source (pack_components,
     8 f/slot).  posT_rows: (3, t*rows) lane-major positions of the tile rows
-    (the compact component stack — pack_components' intermediate)."""
+    (the compact component stack — pack_components' intermediate).
+    rs6T_rows: (6, t*rows) lane-major STATIC per-block coefficient rowsums
+    (the host-f64 rs6T slice for these tiles)."""
     return _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
-                           gidx8, h, interpret)
+                           rs6T_rows, gidx8, h, interpret)
 
 
-def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows, gidx8, h,
-                    interpret):
+def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
+                    rs6T_rows, gidx8, h, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -361,9 +363,10 @@ def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows, gidx8, h,
         restT_p, static_p, pos_p = (
             pad(restT_rows), pad(static_slab), pad(pos_slabT))
         prow_p = jnp.pad(posT_rows, ((0, 0), (0, extra * rows)))
+        rs6_p = jnp.pad(rs6T_rows, ((0, 0), (0, extra * rows)))
     else:
-        restT_p, static_p, pos_p, prow_p = (
-            restT_rows, static_slab, pos_slabT, posT_rows)
+        restT_p, static_p, pos_p, prow_p, rs6_p = (
+            restT_rows, static_slab, pos_slabT, posT_rows, rs6T_rows)
     kernel = functools.partial(pk._moments_kernel_v4, h=h, tb=tb)
     out = pl.pallas_call(
         kernel,
@@ -377,23 +380,27 @@ def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows, gidx8, h,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tb * rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((18, tb * rows), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((18, t_pad * rows), restT_rows.dtype),
         interpret=pk._interpret_default() if interpret is None else interpret,
-    )(restT_p, static_p, pos_p, prow_p)
+    )(restT_p, static_p, pos_p, prow_p, rs6_p)
     return out[:, :t * rows]
 
 
 def _moments_v4_vjp_fwd(restT_rows, static_slab, pos_packed, posT_rows,
-                        gidx8, h, interpret):
+                        rs6T_rows, gidx8, h, interpret):
     out = _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
-                          gidx8, h, interpret)
-    return out, (restT_rows, static_slab, gidx8, pos_packed.shape[0])
+                          rs6T_rows, gidx8, h, interpret)
+    return out, (restT_rows, static_slab, rs6T_rows, gidx8,
+                 pos_packed.shape[0])
 
 
-def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
+def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, rs6T_rows, h,
+                         interpret):
     """dayT (18, chunk*rows) -> (dpsT (chunk, 3, slab), dprowT (3, chunk*rows))
     via the v4 bwd kernel."""
     from jax.experimental import pallas as pl
@@ -408,8 +415,10 @@ def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
         pad = lambda a: jnp.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1))
         restT_p, static_p = pad(restT_rows), pad(static_slab)
         dayT_p = jnp.pad(dayT, ((0, 0), (0, extra * rows)))
+        rs6_p = jnp.pad(rs6T_rows, ((0, 0), (0, extra * rows)))
     else:
-        restT_p, static_p, dayT_p = restT_rows, static_slab, dayT
+        restT_p, static_p, dayT_p, rs6_p = (restT_rows, static_slab, dayT,
+                                            rs6T_rows)
     kernel = functools.partial(pk._moments_bwd_kernel_v4, h=h, tb=tb)
     dps, dprowT = pl.pallas_call(
         kernel,
@@ -420,6 +429,8 @@ def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
             pl.BlockSpec((tb, 5, slab), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((18, tb * rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, tb * rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -434,12 +445,12 @@ def _moments_v4_bwd_impl(restT_rows, static_slab, dayT, h, interpret):
         ],
         scratch_shapes=[pltpu.VMEM((3, 6 * rows), dayT.dtype)],
         interpret=pk._interpret_default() if interpret is None else interpret,
-    )(restT_p, static_p, dayT_p)
+    )(restT_p, static_p, dayT_p, rs6_p)
     return dps[:t], dprowT[:, :t * rows]
 
 
 def _moments_v4_vjp_bwd(h, interpret, res, dayT):
-    restT_rows, static_slab, gidx8, n_rows_src = res
+    restT_rows, static_slab, rs6T_rows, gidx8, n_rows_src = res
     t, _, rows = restT_rows.shape
 
     # chunk over tiles: slice dayT's lane axis per chunk (backward-only
@@ -453,14 +464,19 @@ def _moments_v4_vjp_bwd(h, interpret, res, dayT):
             a = jnp.pad(a, [(0, t_pad - t)] + [(0, 0)] * (a.ndim - 1))
         return a.reshape((n_chunks, ch) + a.shape[1:])
 
-    day_st = jnp.transpose(
-        (jnp.pad(dayT, ((0, 0), (0, (t_pad - t) * rows)))
-         if t_pad > t else dayT).reshape(18, n_chunks, ch * rows), (1, 0, 2))
-    stacked = (prep(restT_rows), prep(static_slab), prep(gidx8), day_st)
+    def prep_T(a):
+        if t_pad > t:
+            a = jnp.pad(a, ((0, 0), (0, (t_pad - t) * rows)))
+        return jnp.transpose(
+            a.reshape(a.shape[0], n_chunks, ch * rows), (1, 0, 2))
+
+    stacked = (prep(restT_rows), prep(static_slab), prep(gidx8),
+               prep_T(dayT), prep_T(rs6T_rows))
 
     def scan_body(acc, args):
-        rr, st, gi, day_c = args
-        dpsT_c, dprowT_c = _moments_v4_bwd_impl(rr, st, day_c, h, interpret)
+        rr, st, gi, day_c, rs6_c = args
+        dpsT_c, dprowT_c = _moments_v4_bwd_impl(rr, st, day_c, rs6_c, h,
+                                                interpret)
         return (acc + scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
                 dprowT_c)
 
@@ -468,7 +484,7 @@ def _moments_v4_vjp_bwd(h, interpret, res, dayT):
         scan_body, jnp.zeros((n_rows_src, 64), dayT.dtype), stacked)
     m = t * rows
     dprowT = jnp.transpose(dprow_st, (1, 0, 2)).reshape(3, t_pad * rows)[:, :m]
-    return (None, None, acc, dprowT, None)
+    return (None, None, acc, dprowT, None, None)
 
 
 moments_packed_v4.defvjp(_moments_v4_vjp_fwd, _moments_v4_vjp_bwd)

@@ -503,13 +503,19 @@ moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 # ------------------------------------------------- moments (K1, v4 lane-major)
 def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
-                       posT_rows_ref, ayT_ref, *, h, tb):
+                       posT_rows_ref, rs6T_rows_ref, ayT_ref, *, h, tb):
     """K1 with a LANE-MAJOR (18, tb*rows) output, CENTERED in-kernel.
 
     The MXU contraction runs transposed — dotsT = [pos - c; 1] @ lhs^T gives
     (4, 6*rows) — and the output row 3*blk + a is the (1, rows) lane slice of
-    the CENTERED moment  dots[a] - (pos_i[a] - c_a) * rowsum  (rowsum rides
-    as the free 4th RHS row of the same dot).
+    the CENTERED moment  dots[a] - (pos_i[a] - c_a) * rowsum_blk, with the
+    rowsum riding as the free 4th RHS row of the SAME dot.  The rowsum must
+    be CONSISTENT with the in-kernel f32 coefficients: substituting the
+    static host-f64 rs6 here was measured to re-destabilize the quiet body
+    (mismatch noise ~ eps * sum|lhs| * tile-extent — the NON-cancelled
+    coefficient sum is large), so rs6T_rows feeds only the backward kernel
+    (gradient-side use, ~1e-7 relative, harmless) and this ref is unused
+    here beyond signature parity.
 
     Centering rationale (round 4, tools/probe_stability.py): raw dots
     contract ABSOLUTE positions — ~35x the centered pair magnitude — so dot
@@ -517,10 +523,9 @@ def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
     correction this destabilized the episode.  Shifting by c = the tile's
     first rest coordinate (any per-tile constant works — the subtraction is
     mathematically exact) brings the contracted magnitudes down to tile
-    extent + reach (~3x pair scale), and the in-kernel rowsum uses the SAME
-    rounded coefficients as the dot, so the cancellation is consistent.
+    extent + reach (~3x pair scale).
 
-    Output relabeling: ayT row 3b+a is now the FINAL [A | Y] component — the
+    Output relabeling: ayT row 3b+a is the FINAL [A | Y] component — the
     callers' -pos_i * rs6 correction is gone.
     """
     rows = restT_rows_ref.shape[2]
@@ -532,10 +537,10 @@ def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
         cA = w * st[3:4]
         gv = gfac * st[4:5]
         pos_slabT = pos_slabT_ref[i]    # (pw, slab)
-        slab = pos_slabT.shape[1]
         lhs = jnp.concatenate(
             [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
             axis=0)
+        slab = pos_slabT.shape[1]
         # per-tile shift: first REST row coordinate (static; padded tiles are
         # inert so a far-grid c only forgoes the precision win, never breaks)
         c = [rr[b:b + 1, 0:1] for b in range(3)]            # 3 x (1, 1)
@@ -557,16 +562,17 @@ def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
 
 
 def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
-                           dpsT_ref, dprowT_ref, ct_ref, *, h, tb):
+                           rs6T_rows_ref, dpsT_ref, dprowT_ref, ct_ref,
+                           *, h, tb):
     """Backward of the CENTERED :func:`_moments_kernel_v4`.
 
     dayT (18, tb*rows) lane-major ->
       dpsT (tb, 3, slab):   d/d pos_slab — CT @ lhs as before (centering adds
                             only pos_slab-independent terms);
       dprowT (3, tb*rows):  d/d pos_rows — the centering term's gradient,
-                            dprow[a, r] = -sum_blk dayT[3blk+a, r] * rowsum_blk[r]
-                            with rowsum from a ones @ lhs^T dot (consistent
-                            with the forward's 4th RHS row).
+                            dprow[a, r] = -sum_blk dayT[3blk+a, r] * rs6_blk[r]
+                            (the static per-block rowsums, matching the
+                            forward's correction operand).
 
     CT is assembled through a VMEM scratch: value-level concat of
     offset-mismatched pieces is unimplemented in Mosaic, masked sub-tile ref
@@ -579,7 +585,6 @@ def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
         dx, w, gfac = _pair_coeffs(rr, rs, h)
         cA = w * st[3:4]
         gv = gfac * st[4:5]
-        slab = st.shape[1]
         lhs = jnp.concatenate(
             [cA * (-dx[b]) for b in range(3)] + [gv * dx[b] for b in range(3)],
             axis=0)
@@ -587,10 +592,9 @@ def _moments_bwd_kernel_v4(restT_rows_ref, static_slab_ref, dayT_ref,
             ct_ref[:, blk * rows:(blk + 1) * rows] = (
                 dayT_ref[3 * blk:3 * blk + 3, i * rows:(i + 1) * rows])
         dpsT_ref[i] = _dot(ct_ref[...], lhs)            # (3, slab)
-        rowsumT = _dot_t(jnp.ones((1, slab), lhs.dtype), lhs)   # (1, 6*rows)
+        rs6 = rs6T_rows_ref[:, i * rows:(i + 1) * rows]  # (6, rows)
         dprowT_ref[:, i * rows:(i + 1) * rows] = -sum(
-            ct_ref[:, blk * rows:(blk + 1) * rows]
-            * rowsumT[0:1, blk * rows:(blk + 1) * rows]
+            ct_ref[:, blk * rows:(blk + 1) * rows] * rs6[blk:blk + 1]
             for blk in range(6))
 
 

@@ -229,11 +229,12 @@ def _elastic_local(pos_loc, ratio_loc, lmats, lbuckets, rs6T_loc, rest_corr_loc,
     ay_parts = []
     for b in lbuckets:
         mb = b.n_tiles * rows
-        posT_b = jax.lax.slice_in_dim(
-            posT_loc, b.tile_start * rows, b.tile_start * rows + mb, axis=1)
+        r0 = b.tile_start * rows
+        posT_b = jax.lax.slice_in_dim(posT_loc, r0, r0 + mb, axis=1)
+        rs6_b = jax.lax.slice_in_dim(rs6T_loc, r0, r0 + mb, axis=1)
         ay_parts.append(moments_packed_v4(
             b.restT_rows, b.static_slab,
-            pos_packed, posT_b, b.gidx8, cfg.h, interpret))
+            pos_packed, posT_b, rs6_b, b.gidx8, cfg.h, interpret))
     ayT = jnp.concatenate(ay_parts, axis=1)               # (18, m_loc)
 
     # v4 kernels emit CENTERED [A | Y] — no -pos_i * rowsum correction here

@@ -311,11 +311,12 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         parts = []
         for b in sb.buckets:
             mb = b.n_tiles * rows
-            posT_b = jax.lax.slice_in_dim(
-                posT_m, b.tile_start * rows, b.tile_start * rows + mb, axis=1)
+            r0 = b.tile_start * rows
+            posT_b = jax.lax.slice_in_dim(posT_m, r0, r0 + mb, axis=1)
+            rs6_b = jax.lax.slice_in_dim(sb.rs6T, r0, r0 + mb, axis=1)
             parts.append(moments_packed_v4(
                 b.restT_rows, b.static_slab,
-                packed, posT_b, b.gidx8, cfg.h, interpret))
+                packed, posT_b, rs6_b, b.gidx8, cfg.h, interpret))
         # bucket-major tile order: concat IS tile order
         return jnp.concatenate(parts, axis=1)               # (18, m)
 
