@@ -54,6 +54,15 @@ def main():
                          "programs (the axon worker watchdog kills ~60s+ "
                          "dispatches; 8 keeps 3000-step chunks ~10s each)")
     ap.add_argument("--out", default="out/inverse100k")
+    ap.add_argument("--scenario", default="stretch", choices=["stretch", "drop"],
+                    help="stretch: Taichi-reference clamp-and-load "
+                         "(sim_taichi.py:329-334); drop: the Warp reference's "
+                         "own flagship workload — body dropped under gravity "
+                         "onto the ground plane with penalty contact in the "
+                         "loss path (sim.py:440-454), at the CFL-consistent "
+                         "v4 triple (softbody_tpu/scenarios.py DROP)")
+    ap.add_argument("--resume", action="store_true", default=False,
+                    help="resume an interrupted run from {out}/checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -62,25 +71,26 @@ def main():
     from softbody_tpu import warp_parity
     from softbody_tpu.geometry.shapes import suggest_h
     from softbody_tpu.opt import driver
-    from softbody_tpu.scenarios import (STRETCH, dirichlet_mask, fit_body,
-                                        x_star_bands)
+    from softbody_tpu.scenarios import (_SCENARIOS, dirichlet_mask, drop_gap,
+                                        fit_body, x_star_bands)
     from softbody_tpu.sim.rollout import rollout
     from softbody_tpu.sim.sparse import build_sparse_scene
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    # ---- body (same sizing fit as bench.py) + stretch scenario
+    # ---- body (same sizing fit as bench.py) + named scenario
     t0 = time.perf_counter()
     pts, out_num = fit_body(args.particles)
+    pts = drop_gap(pts, args.scenario)
     n = len(pts)
     cfg = warp_parity().replace(
         h=suggest_h(pts, 32), dtype="float32",
         frames=args.steps, target_frames=args.target_frames,
-        backend="pallas", **STRETCH)
+        backend="pallas", **_SCENARIOS[args.scenario])
     scene, sop = build_sparse_scene(
         pts, cfg, out_num=out_num,
-        dirichlet_mask=dirichlet_mask(pts, "stretch"))
+        dirichlet_mask=dirichlet_mask(pts, args.scenario))
     sb = scene.blocked
     print(f"scene: N={n} slots={sb.n_slots} tiles={sb.n_tiles} "
           f"build={time.perf_counter()-t0:.1f}s device={jax.devices()[0]}",
@@ -113,7 +123,8 @@ def main():
     result, history = driver.optimize_lbfgs(
         scene, cfg, x0, tp, tv, opt_dir=out,
         x_target=x_star, maxiter=args.maxiter, n_steps=args.steps,
-        eval_chunks=args.eval_chunks)
+        eval_chunks=args.eval_chunks,
+        resume_dir=out / "checkpoint", resume=args.resume)
     wall = time.perf_counter() - t0
     print(f"L-BFGS: {result.nit} iterations / {result.nfev} evals in "
           f"{wall:.0f}s — {result.message}", flush=True)
@@ -125,10 +136,14 @@ def main():
         # losses/distances json, plots, x_star.npy, run log) comes from THIS
         # invocation, identified by run_id
         "run_id": datetime.datetime.now().isoformat(timespec="seconds"),
-        "scenario": "stretch",
+        "scenario": args.scenario,
         "cfg": {"dt": cfg.dt, "youngs_modulus": cfg.youngs_modulus,
                 "integrator": cfg.integrator, "damping": cfg.damping,
                 "h": cfg.h, "mass": cfg.mass,
+                "collision": cfg.collision,
+                "collision_stiffness": cfg.collision_stiffness,
+                "collision_damping": cfg.collision_damping,
+                "initial_velocity": list(cfg.initial_velocity),
                 "external_force": list(cfg.external_force)},
         "n_particles": n,
         "steps": args.steps,

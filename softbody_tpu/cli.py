@@ -37,8 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
     p.add_argument("--maxiter", type=int, default=1000)
-    p.add_argument("--warm-start", type=str, default=None,
-                   help="x.npy to warm-start L-BFGS from (+1e-2 noise, sim.py:454)")
+    p.add_argument("--warm-start", type=str, default="auto",
+                   help="x.npy to warm-start L-BFGS from (+1e-2 noise).  "
+                        "'auto' (default, reference parity — sim.py:454 "
+                        "unconditionally warm-starts from opt/pear/x.npy + "
+                        "noise): use {out}/opt/{name}/x.npy when it exists, "
+                        "zeros otherwise; 'none': always zeros")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="resume an interrupted optimization from "
+                        "opt/{name}/checkpoint (saved every iteration; Adam "
+                        "resume is exact incl. moments, L-BFGS restarts from "
+                        "the saved iterate with the remaining budget)")
     p.add_argument("--out-dir", type=str, default=".")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     return p
@@ -178,14 +187,25 @@ def main(argv=None):
             tp_s[:, sop], tv_s[:, sop] = tp, tv
             tp, tv = tp_s, tv_s
         opt_dir = out / "opt" / args.name
-        if args.warm_start:
-            x0 = driver.warm_start_x0(len(pts), args.warm_start)
+        x0_state = None  # warm starts land in STATE space (saved x.npy is)
+        if args.warm_start == "auto":
+            prev = opt_dir / "x.npy"
+            if prev.exists():
+                x0_state = driver.warm_start_x0(n_state, prev)
+        elif args.warm_start not in (None, "none"):
+            ws = driver.warm_start_x0(n_state, args.warm_start)
+            if np.any(ws):
+                x0_state = ws
+            else:  # particle-space file: route through to_state below
+                x0 = driver.warm_start_x0(len(pts), args.warm_start)
         if args.debug:
             driver.grad_check(scene, cfg, to_state(np.zeros(len(pts))),
                               [1e-3, 1e-7, 1e-6, 1e-5, 1e-4], tp, tv)
             return
         if args.optimizer == "adam":
-            x_fin, losses = driver.optimize_adam(scene, cfg, to_state(x0), tp, tv)
+            x_fin, losses = driver.optimize_adam(
+                scene, cfg, to_state(x0), tp, tv,
+                resume_dir=opt_dir / "checkpoint", resume=args.resume)
             opt_dir.mkdir(parents=True, exist_ok=True)
             np.save(opt_dir / "x.npy", np.asarray(x_fin))
             x_render = np.asarray(x_fin)
@@ -198,9 +218,11 @@ def main(argv=None):
             # through to_state below)
             on_eval = ((lambda xo: render_x(xo, "_opt"))
                        if args.render else None)
+            x0s = x0_state if x0_state is not None else to_state(x0)
             result, history = driver.optimize_lbfgs(
-                scene, cfg, to_state(x0), tp, tv, opt_dir=opt_dir,
-                x_target=to_state(x0), maxiter=args.maxiter, on_eval=on_eval,
+                scene, cfg, x0s, tp, tv, opt_dir=opt_dir,
+                x_target=x0s, maxiter=args.maxiter, on_eval=on_eval,
+                resume_dir=opt_dir / "checkpoint", resume=args.resume,
             )
             x_render = np.asarray(result.x)
             print("L-BFGS done:", result.message)

@@ -52,6 +52,10 @@ class SimConfig:
     collision: bool = True           # Warp only (sim.py:238-244); Taichi uses Dirichlet walls instead
     collision_stiffness: float = 3e5  # sim.py:68
     collision_range: float = 1e-4    # sim.py:69
+    collision_damping: float = 0.0   # beyond-reference Kelvin-Voigt normal
+                                     # damper -c*delta*v_y inside the contact
+                                     # zone (ops/collision.py); 0 = reference
+                                     # penalty exactly
 
     # --- initial conditions ----------------------------------------------------
     initial_velocity: Tuple[float, float, float] = (0.0, -0.4, 0.0)  # sim.py:261-266

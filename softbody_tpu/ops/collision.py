@@ -13,10 +13,20 @@ import jax.numpy as jnp
 from ..config import SimConfig
 
 
-def ground_penalty(pos, cfg: SimConfig):
-    """Quadratic penalty pushing +y when y < collision_range (sim.py:238-244)."""
+def ground_penalty(pos, cfg: SimConfig, vel=None):
+    """Quadratic penalty pushing +y when y < collision_range (sim.py:238-244).
+
+    Beyond-reference: when ``cfg.collision_damping > 0`` and ``vel`` is given,
+    a Kelvin-Voigt normal damper ``-c * delta * v_y`` is added inside the
+    contact zone (smooth in both pos and vel — the delta factor vanishes at
+    the contact boundary, so the force stays C1 and differentiable).  Explicit
+    penalty contact alone pumps energy into the impact ring (the round-4 drop
+    scenarios' "contact heating"); a near-critical damper (c ~ 2 sqrt(2 k
+    delta m) / delta) dissipates it without changing the stiffness bound."""
     delta = jnp.maximum(cfg.collision_range - pos[..., 1], 0.0)
     fy = delta * delta * cfg.collision_stiffness
+    if vel is not None and cfg.collision_damping:
+        fy = fy - cfg.collision_damping * delta * vel[..., 1]
     return jnp.zeros_like(pos).at[..., 1].set(fy)
 
 

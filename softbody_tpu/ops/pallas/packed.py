@@ -342,7 +342,17 @@ def moments_packed_v4(restT_rows, static_slab, pos_packed, posT_rows,
     8 f/slot).  posT_rows: (3, t*rows) lane-major positions of the tile rows
     (the compact component stack — pack_components' intermediate).
     rs6T_rows: (6, t*rows) lane-major STATIC per-block coefficient rowsums
-    (the host-f64 rs6T slice for these tiles)."""
+    (the host-f64 rs6T slice for these tiles) — consumed ONLY by the backward
+    kernel's centering-gradient term, never staged on the forward path.
+
+    Gradient-consistency note (ADVICE r4): the custom VJP's centering term
+    uses these STATIC rowsums while the forward centers against the in-kernel
+    f32 coefficient rowsum, so the backward is the exact gradient of a
+    function differing from the forward by ~1e-7 relative (measured; the
+    static-rowsum substitution in the FORWARD was what destabilized the quiet
+    body, not this).  Finite-difference checks against this op therefore
+    bottom out at ~1e-6 relative, not machine epsilon — set gradcheck
+    tolerances accordingly."""
     return _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
                            rs6T_rows, gidx8, h, interpret)
 
@@ -363,10 +373,9 @@ def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
         restT_p, static_p, pos_p = (
             pad(restT_rows), pad(static_slab), pad(pos_slabT))
         prow_p = jnp.pad(posT_rows, ((0, 0), (0, extra * rows)))
-        rs6_p = jnp.pad(rs6T_rows, ((0, 0), (0, extra * rows)))
     else:
-        restT_p, static_p, pos_p, prow_p, rs6_p = (
-            restT_rows, static_slab, pos_slabT, posT_rows, rs6T_rows)
+        restT_p, static_p, pos_p, prow_p = (
+            restT_rows, static_slab, pos_slabT, posT_rows)
     kernel = functools.partial(pk._moments_kernel_v4, h=h, tb=tb)
     out = pl.pallas_call(
         kernel,
@@ -380,14 +389,12 @@ def _moments_v4_fwd(restT_rows, static_slab, pos_packed, posT_rows,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tb * rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, tb * rows), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((18, tb * rows), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((18, t_pad * rows), restT_rows.dtype),
         interpret=pk._interpret_default() if interpret is None else interpret,
-    )(restT_p, static_p, pos_p, prow_p, rs6_p)
+    )(restT_p, static_p, pos_p, prow_p)
     return out[:, :t * rows]
 
 

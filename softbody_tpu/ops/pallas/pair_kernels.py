@@ -503,7 +503,7 @@ moments_pallas.defvjp(_moments_vjp_fwd, _moments_vjp_bwd)
 
 # ------------------------------------------------- moments (K1, v4 lane-major)
 def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
-                       posT_rows_ref, rs6T_rows_ref, ayT_ref, *, h, tb):
+                       posT_rows_ref, ayT_ref, *, h, tb):
     """K1 with a LANE-MAJOR (18, tb*rows) output, CENTERED in-kernel.
 
     The MXU contraction runs transposed — dotsT = [pos - c; 1] @ lhs^T gives
@@ -513,9 +513,9 @@ def _moments_kernel_v4(restT_rows_ref, static_slab_ref, pos_slabT_ref,
     be CONSISTENT with the in-kernel f32 coefficients: substituting the
     static host-f64 rs6 here was measured to re-destabilize the quiet body
     (mismatch noise ~ eps * sum|lhs| * tile-extent — the NON-cancelled
-    coefficient sum is large), so rs6T_rows feeds only the backward kernel
-    (gradient-side use, ~1e-7 relative, harmless) and this ref is unused
-    here beyond signature parity.
+    coefficient sum is large), so the static rs6T_rows feeds ONLY the
+    backward kernel (gradient-side use, ~1e-7 relative, harmless) and is not
+    an operand here at all (staging it was pure waste — ADVICE r4).
 
     Centering rationale (round 4, tools/probe_stability.py): raw dots
     contract ABSOLUTE positions — ~35x the centered pair magnitude — so dot

@@ -89,6 +89,8 @@ def optimize_lbfgs(
     plot: bool = True,
     on_eval=None,
     eval_chunks: int = 0,
+    resume_dir=None,
+    resume: bool = False,
 ):
     """scipy L-BFGS-B over the jit'd value_and_grad (sim.py:449-461 parity:
     maxiter/ftol/gtol, per-iteration x.npy + losses/distances json + plots).
@@ -97,8 +99,22 @@ def optimize_lbfgs(
     iterate — the hook point for the reference's render-inside-loss behavior
     (sim.py:385-395, --render renders the CURRENT trajectory every eval).
 
+    ``resume_dir``: checkpoint directory (utils/checkpoint.py).  Every
+    iteration saves (x, iteration count, loss/distance histories) there; with
+    ``resume=True`` and an existing checkpoint, the run restarts from the
+    saved iterate, preloads the histories, and spends only the REMAINING
+    iteration budget (maxiter counts total iterations across restarts).
+    scipy's L-BFGS-B keeps its curvature memory in Fortran workspace that
+    cannot be serialized, so a resumed run rebuilds the m-pair history over
+    its first few iterations — the iterate path differs from an uninterrupted
+    run, but both descend the same objective from the same point.  The
+    1000-iteration reference budget (sim.py:454) is hours at 100k particles;
+    on watchdog-prone workers resume is what makes it survivable.
+
     Returns (result, history dict)."""
     import scipy.optimize
+
+    from ..utils import checkpoint as ckpt
 
     tp = jnp.asarray(target_p, cfg.dtype)
     tv = jnp.asarray(target_v, cfg.dtype)
@@ -136,6 +152,24 @@ def optimize_lbfgs(
     if opt_dir is not None:
         create_folder(opt_dir, exist_ok=True)
 
+    iters_done = 0
+    if resume_dir is not None and resume and (Path(resume_dir) / "x.npy").exists():
+        saved = ckpt.load_opt_state(resume_dir)
+        x0 = saved["x"]
+        iters_done = int(saved["meta"].get("step") or 0)
+        hist_file = Path(resume_dir) / "history.json"
+        if hist_file.exists():
+            h = json.loads(hist_file.read_text())
+            history["losses"] = list(h.get("losses", []))
+            history["distances"] = list(h.get("distances", []))
+        if verbose:
+            print(f"resuming from {resume_dir}: iteration {iters_done}, "
+                  f"{len(history['losses'])} logged losses")
+    if maxiter - iters_done <= 0:
+        res = type("R", (), {"x": np.asarray(x0, np.float64), "nit": 0,
+                             "nfev": 0, "message": "resume: budget exhausted"})
+        return res, history
+
     def loss(x_opt):
         t0 = time.perf_counter()
         val, grad = vg(jnp.asarray(x_opt, cfg.dtype), scene, tp, tv)
@@ -163,11 +197,17 @@ def optimize_lbfgs(
             np.save(Path(opt_dir) / "x.npy", x_opt)
             json.dump(history["distances"], open(Path(opt_dir) / "distances.json", "w"))
             json.dump(history["losses"], open(Path(opt_dir) / "losses.json", "w"))
+        if resume_dir is not None:
+            step = iters_done + len(history["xk"])
+            ckpt.save_opt_state(resume_dir, x_opt, cfg=cfg, step=step)
+            (Path(resume_dir) / "history.json").write_text(json.dumps(
+                {"losses": history["losses"],
+                 "distances": history["distances"]}))
 
     result = scipy.optimize.minimize(
         loss, np.asarray(x0, np.float64), jac=jac, callback=callback,
         method="L-BFGS-B",
-        options={"maxiter": maxiter, "ftol": 1e-10, "gtol": 1e-10},
+        options={"maxiter": maxiter - iters_done, "ftol": 1e-10, "gtol": 1e-10},
     )
     if opt_dir is not None:
         np.save(Path(opt_dir) / "x.npy", result.x)
@@ -196,12 +236,22 @@ def optimize_adam(
     steps: int = 200,
     learning_rate: float = 0.05,
     n_steps=None,
+    resume_dir=None,
+    resume: bool = False,
+    checkpoint_every: int = 50,
 ):
-    """On-device Adam (optax): the whole update loop is jit'd — no host
-    round-trips between iterations (capability the reference lacks).
+    """On-device Adam (optax): the update loop is jit'd — no host round-trips
+    between iterations (capability the reference lacks).
+
+    ``resume_dir``: the scan runs in ``checkpoint_every``-step chunks, saving
+    (x, FULL optax state, step) after each (utils/checkpoint.py).  Unlike the
+    L-BFGS path, Adam resume is EXACT: moments live in the saved pytree, so a
+    killed-and-resumed run computes the identical iterate sequence.
 
     Returns (x_final, losses)."""
     import optax
+
+    from ..utils import checkpoint as ckpt
 
     tp = jnp.asarray(target_p, cfg.dtype)
     tv = jnp.asarray(target_v, cfg.dtype)
@@ -210,19 +260,48 @@ def optimize_adam(
     def f(q, sc, tp_, tv_):
         return loss_fn(q, sc, cfg, tp_, tv_, n_steps=n_steps)
 
-    @jax.jit
-    def run(x, sc, tp_, tv_):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("length",))
+    def run(x, opt_state, sc, tp_, tv_, length):
         def body(carry, _):
             x, opt_state = carry
             val, grad = jax.value_and_grad(f)(x, sc, tp_, tv_)
             updates, opt_state = opt.update(grad, opt_state, x)
             return (optax.apply_updates(x, updates), opt_state), val
 
-        (x, _), losses = jax.lax.scan(body, (x, opt.init(x)), None, length=steps)
-        return x, losses
+        (x, opt_state), losses = jax.lax.scan(
+            body, (x, opt_state), None, length=length)
+        return x, opt_state, losses
 
-    x_final, losses = run(jnp.asarray(x0, cfg.dtype), scene, tp, tv)
-    return x_final, np.asarray(losses)
+    x = jnp.asarray(x0, cfg.dtype)
+    opt_state = opt.init(x)
+    done = 0
+    all_losses: list = []
+    if resume_dir is not None and resume and (Path(resume_dir) / "x.npy").exists():
+        saved = ckpt.load_opt_state(resume_dir, opt_state_like=opt_state)
+        x = jnp.asarray(saved["x"], cfg.dtype)
+        if "opt_state" in saved:
+            opt_state = jax.tree.map(
+                lambda ref, a: jnp.asarray(a, ref.dtype)
+                if hasattr(ref, "dtype") else a, opt_state, saved["opt_state"])
+        done = int(saved["meta"].get("step") or 0)
+        hist_file = Path(resume_dir) / "history.json"
+        if hist_file.exists():
+            all_losses = list(json.loads(hist_file.read_text()).get("losses", []))
+
+    chunk = checkpoint_every if resume_dir is not None else steps
+    while done < steps:
+        length = min(chunk, steps - done)
+        x, opt_state, losses = run(x, opt_state, scene, tp, tv, length=length)
+        done += length
+        all_losses.extend(float(v) for v in np.asarray(losses))
+        if resume_dir is not None:
+            ckpt.save_opt_state(resume_dir, x, opt_state=opt_state, cfg=cfg,
+                                step=done)
+            (Path(resume_dir) / "history.json").write_text(
+                json.dumps({"losses": all_losses}))
+    return x, np.asarray(all_losses)
 
 
 def grad_check(scene: Scene, cfg: SimConfig, x0, deltas, target_p, target_v,

@@ -278,69 +278,40 @@ def halo_rollout(x_sharded, scene, plan: HaloPlan, mesh: Mesh, cfg,
                  target_p=None, target_v=None, n_steps=None):
     """Episode rollout whose elastic forces run through the halo exchange.
 
-    Same semantics as sim.rollout.rollout (gather backend) with the per-step
-    force evaluation replaced by :func:`elastic_forces_halo`; state and x stay
-    particle-sharded for the whole episode.  Returns (loss, final_state).
+    The integrator, loss and accumulator are sim.rollout's OWN ``step`` /
+    ``_episode_body`` (including the Neumaier compensated loss pair) — only
+    the per-step force evaluation is swapped for :func:`elastic_forces_halo`
+    via the ``elastic_fn`` hook, so step semantics cannot drift between the
+    dense and SPMD paths.  State and x stay particle-sharded for the whole
+    episode.  Returns (loss, final_state).
     """
     from functools import partial as _partial
 
-    from ..core.types import ParticleState
     from ..ops.elasticity import compute_ratio
-    from ..sim.rollout import frame_loss, total_force
+    from ..sim.rollout import (_acc_init, _episode_body, acc_scalar,
+                               initial_state, step)
 
     n_steps = cfg.frames if n_steps is None else n_steps
     ratio = compute_ratio(x_sharded, cfg)
-    mats = scene.materials
 
     def elastic(pos):
         return elastic_forces_halo(pos, ratio, scene, plan, mesh, cfg)
 
-    pos0 = scene.rest_position
-    vel0 = jnp.broadcast_to(jnp.asarray(cfg.initial_velocity, pos0.dtype), pos0.shape)
-    f0 = elastic(pos0) if cfg.integrator == "trapezoidal" else jnp.zeros_like(pos0)
-    state0 = ParticleState(pos0, vel0, f0)
+    state0 = initial_state(scene, ratio, cfg, elastic_fn=elastic)
+    step_fn = _partial(step, scene=scene, cfg=cfg, elastic_fn=elastic)
+    if cfg.remat:
+        step_fn = jax.checkpoint(step_fn)
 
-    have_targets = target_p is not None
-    if not have_targets:
-        target_p = jnp.zeros((1,) + pos0.shape, pos0.dtype)
-        target_v = jnp.zeros((1,) + pos0.shape, pos0.dtype)
-    n_targets = target_p.shape[0]
-    interval = max(n_steps // n_targets, 1)
-
-    def step(state):
-        pos, vel, f_el = state
-        dt = cfg.dt
-        m = mats.mass[:, None]
-        if cfg.integrator == "trapezoidal":
-            force1 = total_force(pos, vel, f_el, mats, cfg, scene)
-            pos_n = pos + (dt * vel + 0.5 * dt * dt * force1 / m) * mats.free
-            f_el_n = elastic(pos_n)
-            force2 = total_force(pos_n, vel, f_el_n, mats, cfg, scene)
-            vel_n = vel + dt * (force1 + force2) / (2.0 * m) * mats.free
-            return ParticleState(pos_n, vel_n, f_el_n)
-        f_now = elastic(pos)
-        force = total_force(pos, vel, f_now, mats, cfg, scene)
-        vel_n = vel + dt * force / m * mats.free
-        pos_n = pos + dt * vel_n * mats.free
-        return ParticleState(pos_n, vel_n, f_now)
-
-    step_fn = jax.checkpoint(step) if cfg.remat else step
-
-    def body(carry, f):
-        state, acc = carry
-        state = step_fn(state)
-        frame = f + 1
-        if have_targets:
-            t_idx = jnp.clip(frame // interval - 1, 0, n_targets - 1)
-            term = frame_loss(state, target_p[t_idx], target_v[t_idx], cfg)
-            if cfg.loss_mode == "final":
-                hit = frame == n_steps
-            else:
-                hit = (frame % interval == 0) & (frame // interval <= n_targets)
-            acc = acc + jnp.where(hit, term, 0.0)
-        return (state, acc), None
+    if target_p is not None:
+        interval = max(n_steps // target_p.shape[0], 1)
+        body = _episode_body(step_fn, ratio, target_p, target_v, cfg,
+                             n_steps, interval)
+    else:
+        def body(carry, f):
+            state, acc = carry
+            return (step_fn(state, ratio), acc), None
 
     (state, acc), _ = jax.lax.scan(
-        body, (state0, jnp.zeros((), pos0.dtype)), jnp.arange(n_steps)
-    )
-    return acc, state
+        body, (state0, _acc_init(scene.rest_position.dtype)),
+        jnp.arange(n_steps))
+    return acc_scalar(acc), state

@@ -75,8 +75,11 @@ def render_episode(frames_positions, out_num, faces, uv, texture_image,
     for f in range(0, len(frames_positions), every):
         name = str(folder / f"sim_{f:04d}.png")
         if faces is None:
+            # ALL particles, matching the Taichi reference's sphere cloud
+            # (sim_taichi.py:309-311 loops the full particle range; inner
+            # filling particles are visible through gaps in the shell)
             scene = sphere_cloud_scene(
-                frames_positions[f][:out_num], name, workdir=folder / ".pbrt",
+                frames_positions[f], name, workdir=folder / ".pbrt",
             )
         else:
             scene = mesh_frame_scene(

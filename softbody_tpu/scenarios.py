@@ -32,21 +32,34 @@ def add_physics_args(ap):
     ap.add_argument("--scale-a", type=float, default=None)
     ap.add_argument("--scale-b", type=float, default=None)
     ap.add_argument("--collision-stiffness", type=float, default=None)
+    ap.add_argument("--collision-damping", type=float, default=None)
     ap.add_argument("--pair-def-grad", default=None, choices=[None, "i", "j"])
     ap.add_argument("--scenario", default=None,
                     choices=[None, "drop", "stretch"],
                     help="named base scenario (overrides applied on top)")
 
 
-# Iterated on-chip (tools/probe_stability.py logs, round 4):
+# Iterated on-chip (tools/probe_stability.py logs, rounds 4-5):
 #   v1 trapezoidal E=250 k=2e3: contact heating, penetration to -0.032;
 #   v2 symplectic E=250 k=2e4: StVK compression collapse -> NaN at ~step 2600
 #      (impact strain ~ v/c with c ~ 5 m/s at ratio 0.5 exceeded the StVK
 #      stability region);
-#   v3 (current): E=1e3 (c(0.5) ~ 10 m/s -> impact strain ~4%), gentler fall
-#      (v0 -0.25, a = 2), k=2e4 (omega_c*dt = 0.7), symplectic (bounded
-#      high-frequency modes), mild damping 2e-4 to settle post-impact ring.
-DROP = dict(dt=5e-5, youngs_modulus=1e3, collision_stiffness=2e4,
+#   v3 symplectic E=1e3 k=2e4 dt=5e-5: unstable PRE-contact — the elastic
+#      omega*dt at the x=-1 stiffness end (~2.5) violates CFL at dt=5e-5;
+#   v4 (current, round 5): dt=1e-5 — the SAME CFL-consistent triple the
+#      stable "stretch" scenario uses (omega*dt <= ~0.16 across the whole
+#      inflation range).  The contact penalty's EFFECTIVE stiffness is
+#      2*k*delta (the force is quadratic in penetration): at the impact
+#      penetration delta ~ (3 m v^2 / 2k)^(1/3) ~ 8e-4 m, omega_c*dt =
+#      sqrt(2 k delta / m)*dt ~ 6e-3 — the round-4 analysis used the linear
+#      sqrt(k/m) bound, 50x too pessimistic.  A near-critical Kelvin-Voigt
+#      normal damper (collision_damping ~ 2 sqrt(2 k delta m)/delta ~ 1e2)
+#      dissipates the impact ring the bare penalty pumps.  The body is
+#      positioned with drop_gap() so contact lands ~1/4 into the episode
+#      (the procedural body's default center leaves a 0.02 m fall — 2x the
+#      episode at these speeds).
+DROP = dict(dt=1e-5, youngs_modulus=1e3, collision=True,
+            collision_stiffness=2e4, collision_damping=50.0,
             integrator="symplectic", damping=2e-4,
             initial_velocity=(0.0, -0.25, 0.0),
             external_force=(0.0, -2e-4, 0.0))
@@ -81,6 +94,7 @@ def apply_physics_args(cfg, args):
                        ("youngs", "youngs_modulus"),
                        ("scale_a", "scale_a"), ("scale_b", "scale_b"),
                        ("collision_stiffness", "collision_stiffness"),
+                       ("collision_damping", "collision_damping"),
                        ("pair_def_grad", "pair_def_grad")]:
         v = getattr(args, arg, None)
         if v is not None:
@@ -90,6 +104,16 @@ def apply_physics_args(cfg, args):
     if getattr(args, "ext_y", None) is not None:
         over["external_force"] = (0.0, args.ext_y, 0.0)
     return cfg.replace(**over) if over else cfg
+
+
+def drop_gap(pts: np.ndarray, scenario, gap: float = 0.002) -> np.ndarray:
+    """Position the body for the named scenario: 'drop' shifts it down so its
+    lowest particle sits ``gap`` above the ground plane (y = 0) — at the DROP
+    speeds (v0 = -0.25, a = 2) contact then lands at ~0.008 s ~ step 790 of
+    3000, leaving ~3/4 of the episode in contact.  Other scenarios: no-op."""
+    if scenario != "drop":
+        return pts
+    return pts - np.array([0.0, float(pts[:, 1].min()) - gap, 0.0])
 
 
 def dirichlet_mask(pts: np.ndarray, scenario) -> np.ndarray | None:

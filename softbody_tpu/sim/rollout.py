@@ -47,7 +47,7 @@ def total_force(pos, vel, f_el, mats: Materials, cfg: SimConfig, scene: Scene = 
     + optional implicit-obstacle penalty (ops/obstacles.py, beyond-reference)."""
     f = mats.external + f_el - cfg.damping * vel
     if cfg.collision:
-        f = f + ground_penalty(pos, cfg)
+        f = f + ground_penalty(pos, cfg, vel)
     if scene is not None and scene.obstacles is not None:
         from ..ops.obstacles import penalty_force
 
@@ -84,14 +84,21 @@ def _warn_contact_overflow(ovf, cap):
 _overflow_warned = False
 
 
-def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleState:
+def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig,
+         elastic_fn=None) -> ParticleState:
     """One physics step.
 
     trapezoidal (Warp, sim.py:246-258): part_1 advances positions with the
     carried forces, forces are recomputed at the new positions, part_2 averages.
     symplectic (Taichi, sim_taichi.py:167-172): forces at current state, then
     semi-implicit Euler.
+
+    ``elastic_fn(pos) -> forces`` overrides the backend dispatch — the SPMD
+    halo path (parallel/halo.py) routes its exchanged force evaluation through
+    this SAME integrator body, so step semantics live in exactly one place.
     """
+    el = ((lambda p: _elastic(p, ratio, scene, cfg))
+          if elastic_fn is None else elastic_fn)
     mats = scene.materials
     dt = cfg.dt
     m = mats.mass[:, None]
@@ -100,28 +107,31 @@ def step(state: ParticleState, ratio, scene: Scene, cfg: SimConfig) -> ParticleS
     if cfg.integrator == "trapezoidal":
         force1 = total_force(pos, vel, f_el, mats, cfg, scene)
         pos_n = pos + (dt * vel + 0.5 * dt * dt * force1 / m) * mats.free
-        f_el_n = _elastic(pos_n, ratio, scene, cfg)
+        f_el_n = el(pos_n)
         # the velocity-damping term reuses v_t in both halves (sim.py:256-257)
         force2 = total_force(pos_n, vel, f_el_n, mats, cfg, scene)
         vel_n = vel + dt * (force1 + force2) / (2.0 * m) * mats.free
         return ParticleState(pos_n, vel_n, f_el_n)
 
     # symplectic Euler (advance, sim_taichi.py:167-172)
-    f_el_now = _elastic(pos, ratio, scene, cfg)
+    f_el_now = el(pos)
     force = total_force(pos, vel, f_el_now, mats, cfg, scene)
     vel_n = vel + dt * force / m * mats.free
     pos_n = pos + dt * vel_n * mats.free
     return ParticleState(pos_n, vel_n, f_el_now)
 
 
-def initial_state(scene: Scene, ratio, cfg: SimConfig) -> ParticleState:
+def initial_state(scene: Scene, ratio, cfg: SimConfig,
+                  elastic_fn=None) -> ParticleState:
     """startup kernel + initial force evaluation (sim.py:342,349-351,261-266)."""
     pos = scene.rest_position
     vel = jnp.broadcast_to(
         jnp.asarray(cfg.initial_velocity, dtype=pos.dtype), pos.shape
     )
     if cfg.integrator == "trapezoidal":
-        f_el = _elastic(pos, ratio, scene, cfg)
+        el = ((lambda p: _elastic(p, ratio, scene, cfg))
+              if elastic_fn is None else elastic_fn)
+        f_el = el(pos)
     else:
         f_el = jnp.zeros_like(pos)
     return ParticleState(pos, vel, f_el)

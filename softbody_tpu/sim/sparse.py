@@ -283,8 +283,11 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
                           cfg: SimConfig, interpret=None):
     """Bucketed Pallas pair kernels + lane-packed XLA mid-section.
 
-    The moments kernels emit RAW dots; the ``- pos_i * (static rest row sum)``
-    correction happens here in XLA against the host-built rs6/rs6T arrays.
+    Round-4 v4 contract: the K1 moments kernel CENTERS IN-KERNEL (per-tile
+    rest shift, rowsum riding as a free 4th RHS row) and emits the FINAL
+    [A | Y] components — no XLA-side ``- pos_i * rowsum`` correction remains.
+    The host-built static rs6/rs6T rowsums now feed only (a) the K1 BACKWARD
+    kernel (its centering-gradient term) and (b) the K2 term_i epilogue below.
     Round-3 v4 layout: both kernels move their row-side data LANE-MAJOR —
     ayT (18, m) out of K1, f9T (9, m) into K2, termjT (3, m) out of K2 — so
     none of it pays the (rows, k<128) T(8,128) padding, and the mid-section's

@@ -94,3 +94,65 @@ def test_cli_set_target_then_optimize(tmp_path):
     cli.main(common + ["--maxiter", "2"])
     assert (tmp_path / "opt" / "tiny" / "x.npy").exists()
     cli.main(common + ["--init"])
+
+
+def test_lbfgs_kill_and_resume(tiny, tmp_path):
+    """Interrupted L-BFGS resumes from the checkpoint (VERDICT r4 item 8):
+    a run killed at iteration k (simulated by a maxiter=k budget) continues
+    from the saved iterate, preloads histories, and spends only the remaining
+    budget.  The resumed descent must continue from (not restart above) the
+    checkpointed loss."""
+    pts, cfg, scene = tiny
+    rng = np.random.default_rng(3)
+    x_true = rng.normal(size=len(pts)) * 0.8
+    pos, vel = driver.generate_targets(x_true, scene, cfg, tmp_path / "t")
+    x0 = np.zeros(len(pts))
+    ck = tmp_path / "ckpt"
+
+    _, h1 = driver.optimize_lbfgs(
+        scene, cfg, x0, pos, vel, x_target=x_true, maxiter=2, verbose=False,
+        plot=False, resume_dir=ck)
+    assert (ck / "x.npy").exists() and (ck / "history.json").exists()
+    meta = json.loads((ck / "meta.json").read_text())
+    assert meta["step"] == len(h1["xk"])
+    x_saved = np.load(ck / "x.npy")
+
+    # resume with a larger total budget: continues from the saved iterate
+    res2, h2 = driver.optimize_lbfgs(
+        scene, cfg, x0, pos, vel, x_target=x_true, maxiter=5, verbose=False,
+        plot=False, resume_dir=ck, resume=True)
+    assert len(h2["losses"]) > len(h1["losses"])          # history preloaded + extended
+    assert h2["losses"][: len(h1["losses"])] == h1["losses"]
+    assert h2["losses"][-1] <= h1["losses"][-1] * (1 + 1e-12)
+    # resumed leg spent only the remaining budget
+    assert res2.nit <= 5 - meta["step"]
+    # exhausted budget: immediate no-op return with the saved x
+    res3, _ = driver.optimize_lbfgs(
+        scene, cfg, x0, pos, vel, maxiter=meta["step"], verbose=False,
+        plot=False, resume_dir=ck, resume=True)
+    assert res3.nit == 0 and "budget" in res3.message
+    del x_saved
+
+
+def test_adam_kill_and_resume_exact(tiny, tmp_path):
+    """Adam resume is EXACT: a run checkpointed every 3 steps and resumed
+    reproduces the uninterrupted run's iterates (the optax state pytree incl.
+    moments round-trips through utils/checkpoint.py)."""
+    pts, cfg, scene = tiny
+    rng = np.random.default_rng(4)
+    x_true = rng.normal(size=len(pts)) * 0.8
+    pos, vel = driver.generate_targets(x_true, scene, cfg, tmp_path / "t")
+    x0 = np.zeros(len(pts))
+
+    x_ref, l_ref = driver.optimize_adam(scene, cfg, x0, pos, vel, steps=6)
+
+    ck = tmp_path / "ckpt_adam"
+    xa, la = driver.optimize_adam(scene, cfg, x0, pos, vel, steps=3,
+                                  resume_dir=ck, checkpoint_every=3)
+    assert json.loads((ck / "meta.json").read_text())["step"] == 3
+    xb, lb = driver.optimize_adam(scene, cfg, x0, pos, vel, steps=6,
+                                  resume_dir=ck, resume=True,
+                                  checkpoint_every=3)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(x_ref), rtol=1e-12)
+    np.testing.assert_allclose(lb, l_ref, rtol=1e-12)
+    assert len(lb) == 6 and list(lb[:3]) == list(la)

@@ -27,7 +27,7 @@ def main():
     enable_compilation_cache()
 
     from softbody_tpu.scenarios import (add_physics_args, apply_physics_args,
-                          dirichlet_mask, fit_body)
+                          dirichlet_mask, drop_gap, fit_body)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
@@ -62,6 +62,7 @@ def main():
     from softbody_tpu.sim.sparse import build_sparse_scene
 
     pts, out_num = fit_body(args.particles)
+    pts = drop_gap(pts, args.scenario)
     cfg = warp_parity().replace(
         h=suggest_h(pts, 32),
         dtype="float64" if args.f64 else "float32",
