@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+from functools import partial
 import sys
 import time
 
@@ -46,6 +47,8 @@ def main():
     # rows=16 1.08e7); rows=64 was the round-3 bf16-dot-era winner
     ap.add_argument("--rows", type=int, default=32)
     ap.add_argument("--max-buckets", type=int, default=8)
+    ap.add_argument("--group", type=int, default=8,
+                    help="slots per packed gather row (sparse layout)")
     ap.add_argument("--tz", type=int, default=4)
     ap.add_argument("--mode", choices=["warp", "taichi"], default="warp",
                     help="pair_def_grad semantics: warp=F_i (flagship), taichi=F_j (separable)")
@@ -96,7 +99,8 @@ def main():
         from softbody_tpu.sim.sparse import build_sparse_scene
 
         scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=args.rows,
-                                        max_buckets=args.max_buckets)
+                                        max_buckets=args.max_buckets,
+                                        group=args.group)
         blk = scene.blocked
         log(f"scene: N={n} slots={blk.n_slots} tiles={blk.n_tiles} rows={blk.rows} "
             f"buckets={[(b.n_tiles, b.slab_len) for b in blk.buckets]} "
@@ -140,7 +144,9 @@ def main():
         tp = jnp.asarray(np.stack([base, base]), dtype=cfg.dtype)
         tv = jnp.zeros_like(tp)
 
-        @jax.jit
+        from softbody_tpu.utils.hostmem import compiler_options_from_env
+
+        @partial(jax.jit, compiler_options=compiler_options_from_env())
         def run(xv, sc):
             return jax.value_and_grad(
                 lambda q: loss_fn(q, sc, cfg, tp, tv, n_steps=steps)
@@ -164,7 +170,11 @@ def main():
         }))
         return
 
-    @jax.jit
+    from softbody_tpu.utils.hostmem import compiler_options_from_env
+
+    copts = compiler_options_from_env()
+
+    @partial(jax.jit, compiler_options=copts)
     def run_fwd(xv, sc):
         _, final, _ = rollout(xv, sc, cfg, n_steps=args.steps)
         return final

@@ -7,10 +7,15 @@ loss frames inside a scipy L-BFGS-B loop (/root/reference/sim.py:63-65,
 the flagship sparse-pallas backend:
 
 1. build a ~100k-particle procedural inflatable body;
-2. clamp its top and load the rest (the Taichi reference's own setup,
-   sim_taichi.py:329-334) — the "stretch" scenario
-   (softbody_tpu/scenarios.py), validated stable and with a clean descent
-   landscape by tools/probe_stability.py / tools/probe_landscape.py;
+2. apply a named scenario (softbody_tpu/scenarios.py), each validated stable
+   and with a clean descent landscape by tools/probe_stability.py /
+   tools/probe_landscape.py:
+   * "stretch" (default): clamp the top and load the rest — the Taichi
+     reference's own setup (sim_taichi.py:329-334), contact-free;
+   * "drop": the Warp reference's flagship workload — the body falls under
+     gravity onto the ground plane with penalty contact inside the loss
+     window (sim.py:440-454), run at the CFL-consistent v4 triple with the
+     Kelvin-Voigt contact damper;
 3. pick a ground-truth inflation field x* (radial bands — a pattern the
    optimizer cannot guess from the initial x0 = 0 fill) and generate target
    trajectories by rolling x* forward (the --set_target workflow,
@@ -72,7 +77,8 @@ def main():
     from softbody_tpu.geometry.shapes import suggest_h
     from softbody_tpu.opt import driver
     from softbody_tpu.scenarios import (_SCENARIOS, dirichlet_mask, drop_gap,
-                                        fit_body, x_star_bands)
+                                        fit_body, scale_mass_for_resolution,
+                                        x_star_bands)
     from softbody_tpu.sim.rollout import rollout
     from softbody_tpu.sim.sparse import build_sparse_scene
 
@@ -88,6 +94,7 @@ def main():
         h=suggest_h(pts, 32), dtype="float32",
         frames=args.steps, target_frames=args.target_frames,
         backend="pallas", **_SCENARIOS[args.scenario])
+    cfg = scale_mass_for_resolution(cfg, n, args.scenario)
     scene, sop = build_sparse_scene(
         pts, cfg, out_num=out_num,
         dirichlet_mask=dirichlet_mask(pts, args.scenario))

@@ -90,6 +90,15 @@ def pack_components(comps, pad_width, group, n_total=None):
     (measured ~1.6 ms for 19 components at m=120k).  Stacking along axis 0
     keeps every write compact; one transpose then emits the packed rows in a
     single bandwidth-bound pass."""
+    return pack_components_with_stack(comps, pad_width, group, n_total)[0]
+
+
+def pack_components_with_stack(comps, pad_width, group, n_total=None):
+    """:func:`pack_components` that ALSO returns the compact (pad_width, n)
+    component stack it builds en route.  Callers that need a lane-major view
+    of the same components (e.g. the K1 centering rows, sim/sparse.py)
+    slice this instead of re-stacking — the duplicate strided stack was a
+    measured per-iteration copy in the round-5 step trace."""
     n = comps[0].shape[0]
     dtype = comps[0].dtype
     zero = jnp.zeros((n,), dtype)
@@ -99,8 +108,9 @@ def pack_components(comps, pad_width, group, n_total=None):
     if n_total is not None and n_total > n:
         x = jnp.pad(x, ((0, 0), (0, n_total - n)))
         n = n_total
-    x = x.reshape(pad_width, n // group, group)
-    return jnp.transpose(x, (1, 0, 2)).reshape(n // group, group * pad_width)
+    y = x.reshape(pad_width, n // group, group)
+    packed = jnp.transpose(y, (1, 0, 2)).reshape(n // group, group * pad_width)
+    return packed, x
 
 
 def rows_from_components(comps, t, rows):
@@ -269,7 +279,8 @@ def _moments_packed_vjp_bwd(h, interpret, res, day):
         rr, st, gi, day_c = args
         dpsT_c = pk._moments_vjp_bwd(h, interpret, (rr, st, 3), day_c)[2]
         # outs leaves need a leading chunk dim for _scan_chunks' restacking
-        return (scatter_packed_add_T(dpsT_c, gi, n_slots, 3, 8, 8),
+        return (scatter_packed_add_T(dpsT_c, gi, n_slots, 3, 8,
+                                     dpsT_c.shape[2] // gi.shape[1]),
                 jnp.zeros((day_c.shape[0],), day_c.dtype))
 
     dpos, _ = _scan_chunks(
@@ -316,7 +327,8 @@ def _moments_src_vjp_bwd(h, interpret, res, day):
     def body(args):
         rr, st, gi, day_c = args
         dpsT_c = pk._moments_vjp_bwd(h, interpret, (rr, st, 3), day_c)[2]
-        return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
+        return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8,
+                                     dpsT_c.shape[2] // gi.shape[1]),
                 jnp.zeros((day_c.shape[0],), day_c.dtype))
 
     dsrc, _ = _scan_chunks(
@@ -484,7 +496,8 @@ def _moments_v4_vjp_bwd(h, interpret, res, dayT):
         rr, st, gi, day_c, rs6_c = args
         dpsT_c, dprowT_c = _moments_v4_bwd_impl(rr, st, day_c, rs6_c, h,
                                                 interpret)
-        return (acc + scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
+        return (acc + scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8,
+                                           dpsT_c.shape[2] // gi.shape[1]),
                 dprowT_c)
 
     acc, dprow_st = jax.lax.scan(
@@ -615,7 +628,8 @@ def _fused_vjp_bwd(h, corotated, sweeps, interpret, res, cots):
     def body(args):
         rr, st, gi, day_c = args
         dpsT_c = pk._moments_vjp_bwd(h, interpret, (rr, st, 3), day_c)[2]
-        return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8, 8),
+        return (scatter_packed_raw_T(dpsT_c, gi, n_rows_src, 8,
+                                     dpsT_c.shape[2] // gi.shape[1]),
                 jnp.zeros((day_c.shape[0],), day_c.dtype))
 
     dpos_packed, _ = _scan_chunks(
@@ -744,7 +758,8 @@ def _forces_warp_packed_vjp_bwd(h, interpret, chunks, res, df):
             chunks or pk._WARP_CHUNKS,
         )
         dsrT_c = jnp.concatenate([dsT6_c, drT_c], axis=1)   # (chunk, 15, slab)
-        return scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8), dfm_c
+        return (scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16,
+                                    dsrT_c.shape[2] // gi.shape[1]), dfm_c)
 
     dsr_packed, dfm = _scan_chunks(
         body, (restT_rows, static_slab, fm_rows, gidx8, df), t,
@@ -869,7 +884,8 @@ def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
             rr, st, f9T_c, srT, dfT_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
         )
-        return (acc + scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16, 8),
+        return (acc + scatter_packed_raw_T(dsrT_c, gi, n_rows_src, 16,
+                                           dsrT_c.shape[2] // gi.shape[1]),
                 df9T_c)
 
     dsr_packed, df9T_st = jax.lax.scan(

@@ -64,6 +64,35 @@ DROP = dict(dt=1e-5, youngs_modulus=1e3, collision=True,
             initial_velocity=(0.0, -0.25, 0.0),
             external_force=(0.0, -2e-4, 0.0))
 
+# Particle count the DROP constants were validated at (fit_body(20000)).
+DROP_REF_N = 21441
+
+
+def scale_mass_for_resolution(cfg, n: int, scenario="drop"):
+    """Resolution-consistent per-particle mass for the drop scenario.
+
+    The v4 DROP constants were validated at N=21441 (mass 1e-4 -> body mass
+    2.14, continuum density ~4.1e3).  A FIXED per-particle mass at higher N
+    multiplies the density by N/21441 and slows elastic waves by its sqrt:
+    measured at 100k (round 5), the elastic response time R/c (15-120 ms
+    across the inflation range) then exceeds the 22 ms contact window, the
+    episode becomes inertia-dominated, and a 60x stiffness change moves the
+    final state by only ~4% — the inverse-design loss loses its signal
+    (f(x0) collapsed from 4.9e-3 at 20k to 1.3e-7 at 100k).  Holding BODY
+    mass constant keeps the density — and every wave speed, strain and
+    contact number the 20k probes validated — identical at any resolution.
+    External force scales with mass so the acceleration (a = 2 m/s^2) is
+    unchanged.  The reference fixes per-particle mass (set_mass(1e-4),
+    sim.py:444) but also fixes N via its assets, so constant body mass is
+    the faithful scaling of its workload."""
+    if scenario != "drop":
+        return cfg
+    m = 1e-4 * DROP_REF_N / n
+    fx, fy, fz = cfg.external_force
+    scale = m / 1e-4
+    return cfg.replace(mass=m,
+                       external_force=(fx * scale, fy * scale, fz * scale))
+
 # Flagship inverse-design scenario (round 4): the Taichi reference's own
 # setup — clamp the top of the body, load the rest, let it stretch
 # (sim_taichi.py:329-334: Dirichlet z>0.85 + pull force).  Deformation from

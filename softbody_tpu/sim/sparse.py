@@ -81,7 +81,7 @@ class DevBucket:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["buckets", "rs6", "stat_rows", "rs6T"],
-    meta_fields=["rows", "n_tiles", "n_slots", "n_shards"],
+    meta_fields=["rows", "n_tiles", "n_slots", "n_shards", "group"],
 )
 @dataclasses.dataclass(frozen=True)
 class SparseBlocked:
@@ -98,6 +98,10 @@ class SparseBlocked:
     n_tiles: int
     n_slots: int
     n_shards: int = 1
+    group: int = GROUP       # slots per packed gather row (layout.group):
+                             # 8 -> 64-float pos rows (per-row-cost regime),
+                             # 16 -> 128-float pos rows (bandwidth regime,
+                             # half the gather rows, ~+14% candidate pairs)
     # (t, rows, 18) fused static per-row record [rs6 | mu | lam | vol | rc_9]
     # for the fused K1+mid kernel (None -> unfused path)
     stat_rows: jnp.ndarray | None = None
@@ -138,6 +142,7 @@ def build_sparse_scene(
     obstacles=None,
     layout: SparseLayout | None = None,
     n_shards: int = 1,
+    group: int = GROUP,
 ):
     """Returns (scene, slot_of_particle) with Scene.blocked a SparseBlocked."""
     rest = np.asarray(points, dtype=np.float64)
@@ -146,7 +151,7 @@ def build_sparse_scene(
     if layout is None:
         layout = build_sparse_layout(rest, 2.0 * cfg.h, rows=rows,
                                      max_buckets=max_buckets,
-                                     n_shards=n_shards)
+                                     n_shards=n_shards, group=group)
     rows = layout.rows
     ns = layout.n_slots
     sop = layout.slot_of_particle
@@ -173,10 +178,12 @@ def build_sparse_scene(
     )
 
     # ---- per-bucket static pregather (vectorized numpy)
+    gsz = int(layout.group)
+
     def slab_slots(gids):
-        # (t_b, G) group ids -> (t_b, G*8) slot ids
-        return (gids.astype(np.int64)[:, :, None] * GROUP
-                + np.arange(GROUP)[None, None, :]).reshape(gids.shape[0], -1)
+        # (t_b, G) group ids -> (t_b, G*gsz) slot ids
+        return (gids.astype(np.int64)[:, :, None] * gsz
+                + np.arange(gsz)[None, None, :]).reshape(gids.shape[0], -1)
 
     def make_bucket(b, vol_np):
         sl = slab_slots(b.group_ids)                       # (t_b, S)
@@ -240,6 +247,7 @@ def build_sparse_scene(
         n_shards=layout.n_shards,
         stat_rows=stat_rows,
         rs6T=jnp.asarray(rs6_np.T.copy(), dtype),
+        group=gsz,
     )
 
     mats = Materials(
@@ -295,6 +303,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     """
     from ..ops.pallas.packed import (
         forces_packed, moments_packed_v4, pack_components,
+        pack_components_with_stack,
     )
     from ..ops.pallas.pair_kernels import _interpret_default
 
@@ -302,15 +311,16 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
     sb: SparseBlocked = scene.blocked
     t, rows = sb.n_tiles, sb.rows
     m = t * rows
+    gsz = getattr(sb, "group", GROUP)
     dtype = pos_slots.dtype
 
     def moments_all_T(p_slots):
-        packed = pack_components(
-            [p_slots[:, 0], p_slots[:, 1], p_slots[:, 2]], 8, 8)
-        # lane-major row positions for the in-kernel centering (the same
-        # compact stack pack_components builds; sliced per bucket like f9T)
-        posT_m = jax.lax.optimization_barrier(jnp.stack(
-            [p_slots[:m, 0], p_slots[:m, 1], p_slots[:m, 2]], axis=0))
+        # ONE component stack feeds both the packed gather source and the
+        # lane-major centering rows (a second jnp.stack of the same
+        # components was a measured per-iteration strided copy, round 5)
+        packed, stack8 = pack_components_with_stack(
+            [p_slots[:, 0], p_slots[:, 1], p_slots[:, 2]], 8, gsz)
+        posT_m = stack8[:3, :m]
         parts = []
         for b in sb.buckets:
             mb = b.n_tiles * rows
@@ -337,7 +347,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         dyn_rows = rows_from_components(
             [pos_m_[:, 0], pos_m_[:, 1], pos_m_[:, 2], scale], t, rows)
         pos_packed = pack_components(
-            [pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]], 8, 8)
+            [pos_slots[:, 0], pos_slots[:, 1], pos_slots[:, 2]], 8, gsz)
         fm_parts, sr_parts = [], []
         for b in sb.buckets:
             fm_b, sr_b = fused_k1mid(
@@ -353,8 +363,8 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         )
         # pack_components rows are FIELD-major: transpose each group's block
         sr_packed = jnp.transpose(
-            sr_pad.reshape(sb.n_slots // GROUP, GROUP, 16), (0, 2, 1),
-        ).reshape(sb.n_slots // GROUP, GROUP * 16)
+            sr_pad.reshape(sb.n_slots // gsz, gsz, 16), (0, 2, 1),
+        ).reshape(sb.n_slots // gsz, gsz * 16)
         f_parts = []
         for b in sb.buckets:
             f_parts.append(forces_warp_packed(
@@ -409,7 +419,7 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
             [c.astype(pdt) for c in
              (S[0, 0], S[0, 1], S[0, 2], S[1, 1], S[1, 2], S[2, 2],
               R[0, 0], R[1, 0], R[2, 0], R[0, 1], R[1, 1], R[2, 1],
-              R[0, 2], R[1, 2], R[2, 2])], 16, 8, n_total=sb.n_slots)
+              R[0, 2], R[1, 2], R[2, 2])], 16, gsz, n_total=sb.n_slots)
         for b in sb.buckets:
             mb = b.n_tiles * rows
             f9T_b = jax.lax.slice_in_dim(

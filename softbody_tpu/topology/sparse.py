@@ -112,7 +112,7 @@ def build_sparse_layout(
     support_radius: float,
     rows: int = 64,
     max_buckets: int = 8,
-    pad_groups: int = 16,
+    pad_groups: int | None = None,
     cell_scale: float = 1.0,
     n_shards: int = 1,
     group: int = GROUP,
@@ -122,10 +122,10 @@ def build_sparse_layout(
 
     pad_groups: per-tile group counts are padded up to a multiple of this
     before bucketing, bounding the number of distinct slab lengths the DP
-    sees.  Default 16 groups = 128 slots, so every bucket slab length is a
-    128-lane multiple — Mosaic cannot DMA-slice a memref whose lane extent
-    is not 128-aligned (the manual-DMA K1 path needs this; measured pair
-    inflation vs pad_groups=8 is a few percent).
+    sees.  Default (None) = 128/group groups = 128 SLOTS, so every bucket
+    slab length is a 128-lane multiple — Mosaic cannot DMA-slice a memref
+    whose lane extent is not 128-aligned (the manual-DMA K1 path needs this;
+    measured pair inflation vs 64-slot padding is a few percent).
 
     n_shards > 1 prepares the layout for SPMD execution over an n_shards
     device mesh (parallel/sparse_shard.py): each cap's tile list is padded
@@ -143,6 +143,8 @@ def build_sparse_layout(
     """
     gsz = int(group)
     del group  # the name is reused below for the candidate-group-id array
+    if pad_groups is None:
+        pad_groups = max(128 // gsz, 1)
     rest = np.asarray(rest, dtype=np.float64)
     n = rest.shape[0]
     reach = float(support_radius)

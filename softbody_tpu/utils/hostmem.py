@@ -71,3 +71,27 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+
+
+def compiler_options_from_env() -> dict | None:
+    """Parse ``SOFTBODY_COMPILER_OPTIONS`` ("k=v,k2=v2") into a jit
+    ``compiler_options`` dict.
+
+    XLA_FLAGS cannot carry TPU-backend flags here: the LOCAL jaxlib's flag
+    parser fatals on flags only libtpu registers ("Unknown flag in
+    XLA_FLAGS"), and compilation happens in the remote axon helper anyway.
+    PJRT ``compiler_options`` are forwarded with the compile request and
+    validated remotely (measured round 5: a bogus option errors, real
+    ``xla_tpu_*`` options apply), so this is the only working channel for
+    TPU compiler tuning in this environment."""
+    import os
+
+    spec = os.environ.get("SOFTBODY_COMPILER_OPTIONS", "").strip()
+    if not spec:
+        return None
+    out = {}
+    for kv in spec.split(","):
+        k, _, v = kv.partition("=")
+        if k.strip():
+            out[k.strip()] = v.strip()
+    return out or None

@@ -33,7 +33,8 @@ def main():
     enable_compilation_cache()
 
     from softbody_tpu.scenarios import (add_physics_args, apply_physics_args,
-                          dirichlet_mask, drop_gap, fit_body)
+                          dirichlet_mask, drop_gap, fit_body,
+                          scale_mass_for_resolution)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
@@ -64,6 +65,8 @@ def main():
         frames=args.steps, target_frames=args.target_frames,
         backend="pallas")
     cfg = apply_physics_args(cfg, args)
+    if args.mass is None:
+        cfg = scale_mass_for_resolution(cfg, len(pts), args.scenario)
     print(f"cfg: dt={cfg.dt:g} integrator={cfg.integrator} "
           f"damping={cfg.damping:g} h={cfg.h:g} E={cfg.youngs_modulus:g} "
           f"kcol={cfg.collision_stiffness:g}", flush=True)

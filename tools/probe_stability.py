@@ -27,7 +27,8 @@ def main():
     enable_compilation_cache()
 
     from softbody_tpu.scenarios import (add_physics_args, apply_physics_args,
-                          dirichlet_mask, drop_gap, fit_body)
+                          dirichlet_mask, drop_gap, fit_body,
+                          scale_mass_for_resolution)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=20_000)
@@ -70,6 +71,8 @@ def main():
         frames=args.steps, target_frames=100,
         backend="gather" if (args.f64 or args.gather_f32) else "pallas")
     cfg = apply_physics_args(cfg, args)
+    if args.mass is None:
+        cfg = scale_mass_for_resolution(cfg, len(pts), args.scenario)
     if args.quiet:
         cfg = cfg.replace(initial_velocity=(0.0, 0.0, 0.0),
                           external_force=(0.0, 0.0, 0.0))
