@@ -152,6 +152,10 @@ def build_sparse_scene(
         layout = build_sparse_layout(rest, 2.0 * cfg.h, rows=rows,
                                      max_buckets=max_buckets,
                                      n_shards=n_shards, group=group)
+    if layout.n_shards > 1 and int(layout.group) != 8:
+        raise ValueError(
+            "SPMD sparse scenes require group=8: parallel/sparse_shard.py's "
+            "all-gathered packed sources and halo plans assume 8-slot rows")
     rows = layout.rows
     ns = layout.n_slots
     sop = layout.slot_of_particle

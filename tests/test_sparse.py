@@ -174,3 +174,46 @@ def test_host_rowsums_match_kernel(body):
     scale = np.abs(dev).max()
     assert np.abs(dev - host).max() < 1e-9 * max(scale, 1.0), (
         np.abs(dev - host).max(), scale)
+
+
+def test_group16_layout_and_forces_match_group8(body):
+    """The 16-slot packed-row layout (group=16: 128-float pos gather rows at
+    DMA bandwidth, ~+14% candidate pairs) must cover every true pair and
+    produce bitwise-identical forces to group=8 (padding slots are inert;
+    the kernels are group-agnostic — pairs only ever enter via the slab)."""
+    pts, out_num, h = body
+    lay16 = build_sparse_layout(pts, 2 * h, rows=32, group=16)
+    validate_sparse_layout(lay16, pts, 2 * h)     # raises on a missed pair
+    assert lay16.n_slots % 16 == 0
+
+    cfg = warp_parity().replace(h=h, dtype="float32", backend="pallas")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=len(pts)) * 0.3
+    pert = rng.normal(size=(len(pts), 3)) * 0.001
+    res = {}
+    for g in (8, 16):
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=32,
+                                        group=g)
+        ns = scene.blocked.n_slots
+        assert scene.blocked.group == g
+        xs = np.zeros(ns)
+        xs[sop] = x
+        ratio = compute_ratio(jnp.asarray(xs, "float32"), cfg)
+        posn = np.array(scene.rest_position)
+        posn[np.asarray(sop)] += pert
+        f = elastic_forces_sparse(
+            jnp.asarray(posn, "float32"), ratio, scene.materials, scene, cfg,
+            interpret=True)
+        res[g] = np.asarray(f)[np.asarray(sop)]
+    np.testing.assert_array_equal(res[8], res[16])
+
+
+def test_group16_spmd_rejected():
+    """parallel/sparse_shard.py assumes 8-slot packed rows; a 16-group SPMD
+    scene must be rejected with a typed error, not silently mis-packed."""
+    pts, out_num = inflatable_sphere(n_outer=64)
+    cfg = warp_parity().replace(h=suggest_h(pts, 16), dtype="float32",
+                                backend="pallas")
+    with pytest.raises(ValueError, match="group=8"):
+        build_sparse_scene(pts, cfg, out_num=out_num, rows=16, group=16,
+                           n_shards=2)
