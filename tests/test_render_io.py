@@ -137,3 +137,19 @@ def test_eigen_binary_io(tmp_path):
     trips = uio.sparse_matrix_to_triplets(m)
     back = uio.triplets_to_sparse_matrix(13, 7, trips)
     np.testing.assert_allclose(back.toarray(), m.toarray())
+
+
+def test_preview_renderer_writes_pngs(tmp_path):
+    """Software preview fallback (render/preview.py): PNGs must exist and be
+    nonempty for a tiny episode, with a scalar color field (inflation ratio)."""
+    from softbody_tpu.render.preview import render_preview_episode
+
+    rng = __import__("numpy").random.default_rng(0)
+    frames = 0.05 * rng.normal(size=(3, 200, 3))
+    names = render_preview_episode(frames, tmp_path / "prev",
+                                   color=rng.random(200), every=1,
+                                   ground_y=-0.1)
+    assert len(names) == 3
+    for n in names:
+        import os
+        assert os.path.getsize(n) > 5000
