@@ -795,13 +795,21 @@ def forces_warp_packed_v4(restT_rows, static_slab, f9T, sr_packed, gidx8,
 
 def _forces_warp_v4_fwd(restT_rows, static_slab, f9T, sr_packed, gidx8,
                         h, interpret, chunks=None):
+    slab = static_slab.shape[2]
+    srT_slab = gather_packed_T(sr_packed, gidx8, slab, 16)
+    return _forces_warp_v4_fwd_srT(restT_rows, static_slab, f9T, srT_slab,
+                                   h, interpret, chunks)
+
+
+def _forces_warp_v4_fwd_srT(restT_rows, static_slab, f9T, srT_slab,
+                            h, interpret, chunks=None):
+    """v4 forward on a PRE-GATHERED lane-major srT slab (t, 16, slab)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     t, _, rows = restT_rows.shape
     slab = static_slab.shape[2]
     tb = _v4_tb(rows)
-    srT_slab = gather_packed_T(sr_packed, gidx8, slab, 16)
     # pad the tile count to a tb multiple (zero rest coords -> inert tiles)
     extra = (-t) % tb
     t_pad = t + extra
@@ -839,9 +847,18 @@ def _forces_warp_v4_fwd(restT_rows, static_slab, f9T, sr_packed, gidx8,
 
 def _forces_warp_v4_vjp_fwd(restT_rows, static_slab, f9T, sr_packed, gidx8,
                             h, interpret, chunks=None):
-    out = _forces_warp_v4_fwd(restT_rows, static_slab, f9T, sr_packed,
-                              gidx8, h, interpret, chunks)
-    return out, (restT_rows, static_slab, f9T, sr_packed, gidx8)
+    # gather ONCE and keep the lane-major slab as a residual: the backward
+    # kernel consumes exactly this array, and re-gathering it there (the
+    # round-3/4 wiring) re-paid the full packed gather + transpose per step on
+    # the gradient path (the dominant dynamic operand — (t, 16, slab), ~141 MB
+    # at 100k).  Under per-step remat the residual's lifetime is only
+    # recompute -> K2-backward, so peak HBM is unchanged.
+    slab = static_slab.shape[2]
+    srT_slab = gather_packed_T(sr_packed, gidx8, slab, 16)
+    out = _forces_warp_v4_fwd_srT(restT_rows, static_slab, f9T, srT_slab,
+                                  h, interpret, chunks)
+    return out, (restT_rows, static_slab, f9T, srT_slab, gidx8,
+                 sr_packed.shape[0])
 
 
 def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
@@ -849,11 +866,11 @@ def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
     (pair_kernels._forces_warp_bwd_kernel_v4).  No (t, rows, 19)-class HBM
     operands, no XLA-side row relayouts — dfT/f9T slice along lanes per tile
     chunk and df9T assembles by lane-axis concat."""
-    restT_rows, static_slab, f9T, sr_packed, gidx8 = res
+    restT_rows, static_slab, f9T, srT_slab, gidx8, n_rows_src = res
+    sr_dtype = srT_slab.dtype
     t, _, rows = restT_rows.shape
     slab = static_slab.shape[2]
     m = t * rows
-    n_rows_src = sr_packed.shape[0]
     dtype = dfT.dtype
     tb = _v4_tb(rows)
 
@@ -875,11 +892,10 @@ def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
             a.reshape(a.shape[0], n_chunks, ch * rows), (1, 0, 2))
 
     stacked = (prep(restT_rows), prep(static_slab), prep(gidx8),
-               prep_T(f9T), prep_T(dfT))
+               prep(srT_slab), prep_T(f9T), prep_T(dfT))
 
     def scan_body(acc, args):
-        rr, st, gi, f9T_c, dfT_c = args
-        srT = gather_packed_T(sr_packed, gi, slab, 16)
+        rr, st, gi, srT, f9T_c, dfT_c = args
         df9T_c, dsrT_c = pk._forces_warp_bwd_v4_impl(
             rr, st, f9T_c, srT, dfT_c, h, interpret,
             chunks or pk._WARP_CHUNKS,
@@ -891,7 +907,7 @@ def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
     dsr_packed, df9T_st = jax.lax.scan(
         scan_body, jnp.zeros((n_rows_src, 128), dtype), stacked)
     df9T = jnp.transpose(df9T_st, (1, 0, 2)).reshape(9, t_pad * rows)[:, :m]
-    return (None, None, df9T, dsr_packed.astype(sr_packed.dtype), None)
+    return (None, None, df9T, dsr_packed.astype(sr_dtype), None)
 
 
 forces_warp_packed_v4.defvjp(_forces_warp_v4_vjp_fwd, _forces_warp_v4_vjp_bwd)
