@@ -31,6 +31,22 @@ from . import pair_kernels as pk
 # env knob exists for measurement.
 import os as _os
 
+# Component stacks ((k, m) jnp.stack before packing/transposing) used to be
+# pinned behind an optimization_barrier: in the round-2 layouts XLA's layout
+# assignment propagated the consumer's layout into the stack and relayouted
+# one strided pass PER COMPONENT (measured 19 x 0.18 ms).  Re-measured round 5
+# under the v4 lane-major consumers: the barrier is now neutral-to-NEGATIVE
+# (fwd 1.604e7 -> 1.613e7, fwd+bwd 4.549e6 -> 4.595e6 at 100k with it OFF) —
+# the pathology it guarded against no longer exists, and the grad program
+# stages the barriered stacks as twelve ~0.43 ms T(1,128) VMEM copies per
+# iteration.  Default OFF; the knob remains for regression hunting.
+_STACK_BARRIER = _os.environ.get("SOFTBODY_STACK_BARRIER", "0") == "1"
+
+
+def _maybe_barrier(x):
+    return jax.lax.optimization_barrier(x) if _STACK_BARRIER else x
+
+
 # MEASURED at 100k on v5e: 512 -> 3.33e6, 2048 -> 3.90e6 fwd+bwd
 # particle-steps/s (fewer sequential chunks pipeline better); 4096 (= one
 # chunk) blew past the compile budget.
@@ -104,7 +120,7 @@ def pack_components_with_stack(comps, pad_width, group, n_total=None):
     zero = jnp.zeros((n,), dtype)
     full = list(comps) + [zero] * (pad_width - len(comps))
     x = jnp.stack(full, axis=0)                  # (pad_width, n) compact
-    x = jax.lax.optimization_barrier(x)
+    x = _maybe_barrier(x)
     if n_total is not None and n_total > n:
         x = jnp.pad(x, ((0, 0), (0, n_total - n)))
         n = n_total
@@ -121,7 +137,7 @@ def rows_from_components(comps, t, rows):
     # barrier pins the compact row-major stack: without it XLA's layout
     # assignment propagates the consumer's layout into the stack and turns
     # this into one strided relayout PER COMPONENT (measured 19 x 0.18 ms)
-    x = jax.lax.optimization_barrier(x)
+    x = _maybe_barrier(x)
     return jnp.transpose(x.reshape(len(comps), t, rows), (1, 2, 0))
 
 
@@ -500,8 +516,11 @@ def _moments_v4_vjp_bwd(h, interpret, res, dayT):
                                            dpsT_c.shape[2] // gi.shape[1]),
                 dprowT_c)
 
+    # packed-source row width follows the layout group (8 f/slot positions):
+    # group 8 -> 64-float rows, group 16 -> 128
+    gsz = static_slab.shape[2] // gidx8.shape[1]
     acc, dprow_st = jax.lax.scan(
-        scan_body, jnp.zeros((n_rows_src, 64), dayT.dtype), stacked)
+        scan_body, jnp.zeros((n_rows_src, gsz * 8), dayT.dtype), stacked)
     m = t * rows
     dprowT = jnp.transpose(dprow_st, (1, 0, 2)).reshape(3, t_pad * rows)[:, :m]
     return (None, None, acc, dprowT, None, None)
@@ -904,8 +923,10 @@ def _forces_warp_v4_vjp_bwd(h, interpret, chunks, res, dfT):
                                            dsrT_c.shape[2] // gi.shape[1]),
                 df9T_c)
 
+    # 16 f/slot S|R records: group 8 -> 128-float rows, group 16 -> 256
+    gsz = slab // gidx8.shape[1]
     dsr_packed, df9T_st = jax.lax.scan(
-        scan_body, jnp.zeros((n_rows_src, 128), dtype), stacked)
+        scan_body, jnp.zeros((n_rows_src, gsz * 16), dtype), stacked)
     df9T = jnp.transpose(df9T_st, (1, 0, 2)).reshape(9, t_pad * rows)[:, :m]
     return (None, None, df9T, dsr_packed.astype(sr_dtype), None)
 

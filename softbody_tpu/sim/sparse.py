@@ -413,7 +413,9 @@ def elastic_forces_sparse(pos_slots, ratio_slots, mats: Materials, scene: Scene,
         # on lane-packed components.
         from ..ops.pallas.packed import forces_warp_packed_v4
 
-        f9T = jax.lax.optimization_barrier(jnp.stack(
+        from ..ops.pallas.packed import _maybe_barrier
+
+        f9T = _maybe_barrier(jnp.stack(
             [F[0, 0], F[0, 1], F[0, 2], F[1, 0], F[1, 1], F[1, 2],
              F[2, 0], F[2, 1], F[2, 2]], axis=0))                  # (9, m)
         # pair_dtype is an explicit bf16 opt-in; otherwise keep the sim dtype

@@ -208,6 +208,49 @@ def test_group16_layout_and_forces_match_group8(body):
     np.testing.assert_array_equal(res[8], res[16])
 
 
+def test_group16_episode_grad_matches_group8(body):
+    """The VJP path must be group-size-generic too: the v4 scatter
+    accumulators size their packed-row width from the layout group (group 8
+    -> 64/128-float rows, group 16 -> 128/256) — a hardcoded 8-group width
+    crashed the round-5 group=16 gradient bench.  Episode loss grads must
+    match between groups (same math, different padding-slot partitioning;
+    inert slots contribute exact zeros)."""
+    pts, out_num, h = body
+    cfg = warp_parity().replace(h=h, dtype="float32", backend="pallas",
+                                dt=1e-6, target_frames=2)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=len(pts)) * 0.3
+    res = {}
+    for g in (8, 16):
+        scene, sop = build_sparse_scene(pts, cfg, out_num=out_num, rows=32,
+                                        group=g)
+        ns = scene.blocked.n_slots
+        xs = np.zeros(ns, np.float32)
+        xs[sop] = x
+        # perturb only PARTICLE slots: padding slots never move, and their
+        # (layout-dependent) far-grid positions must contribute exact zeros
+        base = np.asarray(scene.rest_position)
+        t1, t2 = base.copy(), base.copy()
+        t1[np.asarray(sop)] *= 1.001
+        t2[np.asarray(sop)] *= 1.002
+        tp = jnp.asarray(np.stack([t1, t2]), jnp.float32)
+        # padding slots keep the broadcast initial velocity forever (free=0);
+        # recorded targets would match it exactly, so the parity targets must
+        # too (tv=0 would count layout-dependent padding into the v-loss)
+        tv = jnp.broadcast_to(
+            jnp.asarray(cfg.initial_velocity, jnp.float32), tp.shape)
+
+        def loss(q):
+            l, _, _ = rollout(q, scene, cfg, tp, tv, n_steps=3)
+            return l
+
+        val, grad = jax.value_and_grad(loss)(jnp.asarray(xs))
+        res[g] = (float(val), np.asarray(grad)[np.asarray(sop)])
+    assert np.isfinite(res[8][0]) and res[8][0] > 0
+    np.testing.assert_allclose(res[8][0], res[16][0], rtol=1e-6)
+    np.testing.assert_allclose(res[8][1], res[16][1], rtol=1e-4, atol=1e-12)
+
+
 def test_group16_spmd_rejected():
     """parallel/sparse_shard.py assumes 8-slot packed rows; a 16-group SPMD
     scene must be rejected with a typed error, not silently mis-packed."""

@@ -41,8 +41,8 @@ def main():
         T = args.tiles
 
         def kernel(a_ref, b_ref, o_ref):
-            o_ref[...] = jax.lax.dot_general(
-                a_ref[...], b_ref[...], (((1,), (1,)), ((), ())),
+            o_ref[0] = jax.lax.dot_general(
+                a_ref[0], b_ref[0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
