@@ -239,6 +239,8 @@ def optimize_adam(
     resume_dir=None,
     resume: bool = False,
     checkpoint_every: int = 50,
+    eval_chunks: int = 0,
+    verbose: bool = False,
 ):
     """On-device Adam (optax): the update loop is jit'd — no host round-trips
     between iterations (capability the reference lacks).
@@ -247,6 +249,13 @@ def optimize_adam(
     (x, FULL optax state, step) after each (utils/checkpoint.py).  Unlike the
     L-BFGS path, Adam resume is EXACT: moments live in the saved pytree, so a
     killed-and-resumed run computes the identical iterate sequence.
+
+    ``eval_chunks > 1``: each gradient comes from the bounded host-chunked
+    episode VJP (sim/rollout.py::episode_value_and_grad_chunked) and the optax
+    update runs as its own small dispatch — for reference-scale episodes whose
+    single fwd+bwd dispatch would exceed the worker watchdog (the same reason
+    optimize_lbfgs takes eval_chunks).  One Adam step then costs the same
+    bounded dispatches as one L-BFGS eval.
 
     Returns (x_final, losses)."""
     import optax
@@ -262,17 +271,40 @@ def optimize_adam(
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("length",))
-    def run(x, opt_state, sc, tp_, tv_, length):
-        def body(carry, _):
-            x, opt_state = carry
-            val, grad = jax.value_and_grad(f)(x, sc, tp_, tv_)
-            updates, opt_state = opt.update(grad, opt_state, x)
-            return (optax.apply_updates(x, updates), opt_state), val
+    if eval_chunks and eval_chunks > 1:
+        from ..sim.rollout import episode_value_and_grad_chunked
 
-        (x, opt_state), losses = jax.lax.scan(
-            body, (x, opt_state), None, length=length)
-        return x, opt_state, losses
+        cvg = episode_value_and_grad_chunked(scene, cfg, eval_chunks, n_steps)
+
+        @jax.jit
+        def apply(x, opt_state, grad):
+            updates, opt_state = opt.update(grad, opt_state, x)
+            return optax.apply_updates(x, updates), opt_state
+
+        def run(x, opt_state, sc, tp_, tv_, length):
+            losses = []
+            for _ in range(length):
+                t0 = time.perf_counter()
+                val, grad = cvg(x, tp_, tv_)
+                x, opt_state = apply(x, opt_state, grad)
+                losses.append(val)
+                if verbose:
+                    print(f"adam loss:  {val}   "
+                          f"[step {time.perf_counter() - t0:.1f}s]",
+                          flush=True)
+            return x, opt_state, jnp.asarray(losses)
+    else:
+        @partial(jax.jit, static_argnames=("length",))
+        def run(x, opt_state, sc, tp_, tv_, length):
+            def body(carry, _):
+                x, opt_state = carry
+                val, grad = jax.value_and_grad(f)(x, sc, tp_, tv_)
+                updates, opt_state = opt.update(grad, opt_state, x)
+                return (optax.apply_updates(x, updates), opt_state), val
+
+            (x, opt_state), losses = jax.lax.scan(
+                body, (x, opt_state), None, length=length)
+            return x, opt_state, losses
 
     x = jnp.asarray(x0, cfg.dtype)
     opt_state = opt.init(x)
