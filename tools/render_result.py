@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--scenario", default="drop", choices=["stretch", "drop"])
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--every", type=int, default=500)
+    ap.add_argument("--rows", type=int, default=32,
+                    help="slot rows of the ORIGINAL run's layout (x.npy is "
+                         "slot-space; round-4 runs used rows=64)")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +62,7 @@ def main():
         target_frames=100, backend="pallas", **_SCENARIOS[args.scenario])
     cfg = scale_mass_for_resolution(cfg, len(pts), args.scenario)
     scene, sop = build_sparse_scene(
-        pts, cfg, out_num=out_num,
+        pts, cfg, out_num=out_num, rows=args.rows,
         dirichlet_mask=dirichlet_mask(pts, args.scenario))
     ns = scene.blocked.n_slots
     assert x_opt.shape == (ns,), (x_opt.shape, ns)
